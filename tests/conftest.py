@@ -1,0 +1,27 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding tests run on a virtual CPU mesh (the TPU analogue of
+"multi-node without a cluster" — SURVEY.md §4). The environment's axon
+sitecustomize force-selects the remote TPU backend through jax.config at
+interpreter start, so setting JAX_PLATFORMS alone is not enough — we must
+re-update jax.config before any backend is initialized.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
