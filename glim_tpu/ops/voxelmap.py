@@ -1,0 +1,297 @@
+"""Fixed-capacity voxel maps: Gaussian-statistics (VGICP target) and
+point-container (GICP / iVox-style target).
+
+TPU-native re-design of gtsam_points' ``GaussianVoxelMapCPU/GPU`` and
+``iVox`` / ``IncrementalVoxelMap<FlatContainer>`` (reference usage:
+src/glim/odometry/odometry_estimation_gpu.cpp:96-107,
+odometry/odometry_estimation_cpu.cpp:58-67, mapping/sub_mapping.cpp:383-419).
+
+The CUDA versions are bucketed hash tables with atomics; here a voxel map is a
+**sorted table**: int32 mixing-hash keys (ties broken by exact int32 coords)
+sorted ascending, so
+
+- insertion  = concat(existing-as-weighted-entries, new points) → lexsort →
+  segment-reduce (no atomics, deterministic),
+- lookup     = vectorized binary search + tiny fixed probe window for hash
+  collisions,
+- LRU        = top-k on an age counter when over capacity.
+
+Everything is a pytree of fixed-shape arrays; resolution is carried as a
+traced scalar so adaptive-resolution maps (reference:
+odometry_estimation_gpu.cpp:89-93) do not trigger recompilation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from glim_tpu.ops.pointops import INVALID_HASH, hash_coords, voxel_coords
+
+_PROBE = 8  # max entries scanned past the binary-search hit (hash collisions)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GaussianVoxelMap:
+    """Sorted-table Gaussian voxel map (VGICP target).
+
+    Per-voxel: mean of inserted points, mean of inserted point covariances
+    (the VGICP distribution-to-distribution model), point count, LRU age.
+    """
+
+    hash: jnp.ndarray    # (V,) int32, sorted; INVALID_HASH for empty slots
+    coords: jnp.ndarray  # (V, 3) int32
+    mean: jnp.ndarray    # (V, 3) f32
+    cov: jnp.ndarray     # (V, 3, 3) f32
+    count: jnp.ndarray   # (V,) f32
+    age: jnp.ndarray     # (V,) int32 — higher = more recently updated
+    resolution: jnp.ndarray  # () f32
+
+    @property
+    def capacity(self) -> int:
+        return int(self.hash.shape[0])
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return self.hash != INVALID_HASH
+
+    def num_voxels(self) -> jnp.ndarray:
+        return jnp.sum(self.valid)
+
+
+def empty_gaussian_voxelmap(capacity: int, resolution) -> GaussianVoxelMap:
+    return GaussianVoxelMap(
+        hash=jnp.full((capacity,), INVALID_HASH, jnp.int32),
+        coords=jnp.zeros((capacity, 3), jnp.int32),
+        mean=jnp.zeros((capacity, 3), jnp.float32),
+        cov=jnp.zeros((capacity, 3, 3), jnp.float32),
+        count=jnp.zeros((capacity,), jnp.float32),
+        age=jnp.zeros((capacity,), jnp.int32),
+        resolution=jnp.asarray(resolution, jnp.float32),
+    )
+
+
+def _sorted_reduce(hashes, coords, weights, w_mean, w_cov, ages, capacity):
+    """Sort entries by (hash, coords) and segment-reduce weighted Gaussian
+    stats into at most ``capacity`` voxels (LRU-evicting oldest extras).
+
+    w_mean is weight*mean (sum of points); w_cov is weight*cov (sum of covs).
+    """
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], hashes))
+    h_s = hashes[order]
+    c_s = coords[order]
+    w_s = weights[order]
+    wm_s = w_mean[order]
+    wc_s = w_cov[order]
+    a_s = ages[order]
+
+    valid = h_s != INVALID_HASH
+    same = (h_s[1:] == h_s[:-1]) & jnp.all(c_s[1:] == c_s[:-1], axis=-1)
+    starts = jnp.concatenate([valid[:1], ~same]) & valid
+    seg_id = jnp.cumsum(starts) - 1
+    num_segs = jnp.sum(starts)
+    seg_id = jnp.where(valid, seg_id, capacity)  # invalid -> dropped bucket
+
+    n_out = capacity + 1
+    sum_w = jax.ops.segment_sum(w_s, seg_id, num_segments=n_out)[:capacity]
+    sum_wm = jax.ops.segment_sum(wm_s, seg_id, num_segments=n_out)[:capacity]
+    sum_wc = jax.ops.segment_sum(wc_s.reshape(-1, 9), seg_id, num_segments=n_out)[:capacity]
+    seg_age = jax.ops.segment_max(jnp.where(valid, a_s, -1), seg_id, num_segments=n_out)[:capacity]
+    seg_hash = jax.ops.segment_max(jnp.where(valid, h_s, -1), seg_id, num_segments=n_out)[:capacity]
+    seg_coords = jax.ops.segment_max(jnp.where(valid[:, None], c_s, jnp.iinfo(jnp.int32).min),
+                                     seg_id, num_segments=n_out)[:capacity]
+
+    slot_valid = jnp.arange(capacity) < num_segs
+    overflow = num_segs > capacity  # never true: cumsum bounded by entries; kept for clarity
+
+    # LRU eviction happens implicitly when the merged entry list is larger
+    # than capacity: keep the `capacity` most recently updated voxels.
+    # (When num_segs <= capacity nothing is evicted.)
+    del overflow
+    seg_hash = jnp.where(slot_valid, seg_hash, INVALID_HASH)
+
+    # Re-sort by hash so lookup's searchsorted stays valid (invalid slots
+    # carry INVALID_HASH and sort to the end).
+    order2 = jnp.lexsort((seg_coords[:, 2], seg_coords[:, 1], seg_coords[:, 0], seg_hash))
+    return (seg_hash[order2], seg_coords[order2], sum_w[order2], sum_wm[order2],
+            sum_wc[order2].reshape(-1, 3, 3), seg_age[order2])
+
+
+@jax.jit
+def voxelmap_insert(vm: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarray,
+                    covs: jnp.ndarray, step: jnp.ndarray) -> GaussianVoxelMap:
+    """Merge a padded point batch (+covs) into the map. ``step`` is the LRU
+    stamp for the touched voxels. If the merged voxel count exceeds capacity,
+    the least-recently-updated voxels are dropped."""
+    V = vm.capacity
+    C = points.shape[0]
+    inv_res = 1.0 / vm.resolution
+
+    p_coords = voxel_coords(points, inv_res)
+    p_hash = jnp.where(mask, hash_coords(p_coords), INVALID_HASH)
+    p_w = mask.astype(jnp.float32)
+    p_wm = jnp.where(mask[:, None], points, 0.0)
+    p_wc = jnp.where(mask[:, None, None], covs, 0.0)
+    p_age = jnp.where(mask, step, -1)
+
+    e_valid = vm.valid
+    e_hash = vm.hash
+    e_w = vm.count
+    e_wm = vm.mean * vm.count[:, None]
+    e_wc = vm.cov * vm.count[:, None, None]
+
+    hashes = jnp.concatenate([e_hash, p_hash])
+    coords = jnp.concatenate([vm.coords, p_coords])
+    weights = jnp.concatenate([e_w, p_w])
+    w_mean = jnp.concatenate([e_wm, p_wm])
+    w_cov = jnp.concatenate([e_wc, p_wc])
+    ages = jnp.concatenate([jnp.where(e_valid, vm.age, -1), p_age])
+
+    # Pre-eviction when merged voxel count could exceed V: drop the oldest
+    # entries *by age* before the reduce. We approximate "voxel age" by entry
+    # age; existing voxels carry their stored age, new points carry `step`.
+    # Rank entries by age descending; entries ranked past V + C keep
+    # (conservative) are invalidated. A tighter eviction runs after reduce.
+    seg = _sorted_reduce(hashes, coords, weights, w_mean, w_cov, ages, V + C)
+    s_hash, s_coords, s_w, s_wm, s_wc, s_age = seg
+
+    # Keep the V most recent voxels among the merged set.
+    n_merged = jnp.sum(s_hash != INVALID_HASH)
+    score = jnp.where(s_hash != INVALID_HASH, s_age, jnp.iinfo(jnp.int32).min)
+    _, keep_idx = jax.lax.top_k(score, V)
+    k_hash = s_hash[keep_idx]
+    k_coords = s_coords[keep_idx]
+    k_w = s_w[keep_idx]
+    k_wm = s_wm[keep_idx]
+    k_wc = s_wc[keep_idx]
+    k_age = s_age[keep_idx]
+    del n_merged
+
+    order = jnp.lexsort((k_coords[:, 2], k_coords[:, 1], k_coords[:, 0], k_hash))
+    k_hash = k_hash[order]
+    k_coords = k_coords[order]
+    k_w = k_w[order]
+    k_wm = k_wm[order]
+    k_wc = k_wc[order]
+    k_age = k_age[order]
+
+    safe_w = jnp.maximum(k_w, 1.0)
+    return GaussianVoxelMap(
+        hash=k_hash,
+        coords=k_coords,
+        mean=k_wm / safe_w[:, None],
+        cov=k_wc / safe_w[:, None, None],
+        count=k_w,
+        age=jnp.maximum(k_age, 0),
+        resolution=vm.resolution,
+    )
+
+
+@jax.jit
+def voxelmap_lookup(vm: GaussianVoxelMap, points: jnp.ndarray) -> jnp.ndarray:
+    """(Q, 3) query points -> (Q,) voxel index or -1."""
+    inv_res = 1.0 / vm.resolution
+    q_coords = voxel_coords(points, inv_res)
+    q_hash = hash_coords(q_coords)
+    base = jnp.searchsorted(vm.hash, q_hash)
+
+    found = jnp.full(q_hash.shape, -1, jnp.int32)
+    V = vm.capacity
+    for w in range(_PROBE):
+        idx = jnp.minimum(base + w, V - 1)
+        hit = (vm.hash[idx] == q_hash) & jnp.all(vm.coords[idx] == q_coords, axis=-1)
+        found = jnp.where((found < 0) & hit, idx.astype(jnp.int32), found)
+    return found
+
+
+@jax.jit
+def voxelmap_overlap(vm: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarray,
+                     T: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of valid points whose T-transformed position hits an occupied
+    voxel (gtsam_points::overlap / overlap_gpu equivalent, used for keyframe
+    management: reference odometry_estimation_gpu.cpp:212-295)."""
+    p = points @ T[:3, :3].T + T[:3, 3]
+    idx = voxelmap_lookup(vm, p)
+    hits = (idx >= 0) & mask
+    return jnp.sum(hits) / jnp.maximum(jnp.sum(mask), 1)
+
+
+# ---------------------------------------------------------------------------
+# Point-container voxel map (iVox equivalent): bounded model point cloud with
+# per-subvoxel dedup and LRU age eviction; NN queries go brute-force through
+# glim_tpu.ops.knn (MXU distance matmuls replace pointer-chasing).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PointVoxelMap:
+    points: jnp.ndarray   # (M, 3) f32
+    covs: jnp.ndarray     # (M, 3, 3) f32
+    mask: jnp.ndarray     # (M,) bool
+    age: jnp.ndarray      # (M,) int32
+    min_dist: jnp.ndarray  # () f32 — sub-voxel size (one point kept per cell)
+
+    @property
+    def capacity(self) -> int:
+        return int(self.points.shape[0])
+
+    def num_points(self) -> jnp.ndarray:
+        return jnp.sum(self.mask)
+
+
+def empty_point_voxelmap(capacity: int, min_dist) -> PointVoxelMap:
+    return PointVoxelMap(
+        points=jnp.zeros((capacity, 3), jnp.float32),
+        covs=jnp.zeros((capacity, 3, 3), jnp.float32),
+        mask=jnp.zeros((capacity,), bool),
+        age=jnp.zeros((capacity,), jnp.int32),
+        min_dist=jnp.asarray(min_dist, jnp.float32),
+    )
+
+
+@jax.jit
+def pointmap_insert(pm: PointVoxelMap, points: jnp.ndarray, mask: jnp.ndarray,
+                    covs: jnp.ndarray, step: jnp.ndarray) -> PointVoxelMap:
+    """Insert new points, keeping at most one point per min_dist sub-voxel
+    (existing points win, as in iVox's FlatContainer min-dist policy) and the
+    most recently inserted `capacity` points overall (LRU)."""
+    M = pm.capacity
+    inv = 1.0 / pm.min_dist
+
+    all_pts = jnp.concatenate([pm.points, points])
+    all_cov = jnp.concatenate([pm.covs, covs])
+    all_mask = jnp.concatenate([pm.mask, mask])
+    all_age = jnp.concatenate([jnp.where(pm.mask, pm.age, -1),
+                               jnp.where(mask, step, -1)])
+    # Existing points get priority 0, new ones 1 — the first entry in each
+    # sub-voxel after the sort is the survivor.
+    prio = jnp.concatenate([jnp.zeros(M, jnp.int32), jnp.ones(points.shape[0], jnp.int32)])
+
+    coords = voxel_coords(all_pts, inv)
+    h = jnp.where(all_mask, hash_coords(coords), INVALID_HASH)
+    order = jnp.lexsort((prio, coords[:, 2], coords[:, 1], coords[:, 0], h))
+    h_s = h[order]
+    c_s = coords[order]
+    valid_s = all_mask[order]
+
+    same = (h_s[1:] == h_s[:-1]) & jnp.all(c_s[1:] == c_s[:-1], axis=-1)
+    first = jnp.concatenate([valid_s[:1], ~same]) & valid_s
+
+    # Keep top-M by age among survivors.
+    age_s = all_age[order]
+    score = jnp.where(first, age_s, jnp.iinfo(jnp.int32).min)
+    _, keep = jax.lax.top_k(score, M)
+    new_mask = first[keep]
+    return PointVoxelMap(
+        points=all_pts[order][keep],
+        covs=all_cov[order][keep],
+        mask=new_mask,
+        age=jnp.where(new_mask, age_s[keep], 0),
+        min_dist=pm.min_dist,
+    )
