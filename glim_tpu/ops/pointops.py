@@ -100,13 +100,17 @@ def voxelgrid_sampling(points: jnp.ndarray, mask: jnp.ndarray, resolution,
 
 @partial(jax.jit, static_argnames=("target",))
 def randomgrid_sampling(points: jnp.ndarray, mask: jnp.ndarray, resolution,
-                        target: int, rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        target: int, rng: jax.Array
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Voxel-bucketed random sampling to ~``target`` points.
 
     Spatially uniform sampling (the reference's preferred downsampler,
     config_preprocess.json "use_random_grid_downsampling"): each occupied
     voxel contributes up to ceil(target / #voxels) randomly-chosen points,
     then a global random trim brings the count to <= target.
+
+    Returns (points, mask, src_idx) where src_idx maps each output lane back
+    to the input lane it was sampled from (for carrying times/intensities).
     """
     C = points.shape[0]
     coords = voxel_coords(points, 1.0 / resolution)
@@ -120,7 +124,6 @@ def randomgrid_sampling(points: jnp.ndarray, mask: jnp.ndarray, resolution,
 
     starts = _segment_starts(h_s, coords_s, valid_s)
     num_segs = jnp.maximum(jnp.sum(starts), 1)
-    seg_id = jnp.cumsum(starts) - 1
     # Rank of each point within its voxel (0 for the voxel's first point).
     idx = jnp.arange(C)
     start_idx = jnp.where(starts, idx, 0)
@@ -136,20 +139,22 @@ def randomgrid_sampling(points: jnp.ndarray, mask: jnp.ndarray, resolution,
     trim_order = jnp.lexsort((prio2, ~keep))  # kept points first, random within
     kept_sorted = pts_s[trim_order]
     kept_mask = keep[trim_order] & (jnp.arange(C) < target)
-    return kept_sorted, kept_mask
+    return kept_sorted, kept_mask, order[trim_order]
 
 
 @jax.jit
 def random_sampling(points: jnp.ndarray, mask: jnp.ndarray, target: int,
-                    rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Uniform random sampling of up to ``target`` valid points."""
+                    rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Uniform random sampling of up to ``target`` valid points.
+
+    Returns (points, mask, src_idx)."""
     C = points.shape[0]
     prio = jax.random.uniform(rng, (C,))
     order = jnp.lexsort((prio, ~mask))
     pts_s = points[order]
     n_valid = jnp.sum(mask)
     out_mask = jnp.arange(C) < jnp.minimum(n_valid, target)
-    return pts_s, out_mask
+    return pts_s, out_mask, order
 
 
 @jax.jit

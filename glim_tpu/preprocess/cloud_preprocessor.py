@@ -1,0 +1,186 @@
+"""Scan preprocessing: downsample -> filter -> sort -> kNN graph.
+
+Equivalent surface to the reference's ``CloudPreprocessor``
+(reference: src/glim/preprocess/cloud_preprocessor.cpp:75-221, params from
+config/config_preprocess.json) re-designed as ONE fused jitted device
+pipeline over a padded scan:
+
+  distance/finite filter -> random-grid (or voxel-grid) downsampling ->
+  time sort -> optional crop-box -> optional statistical outlier removal ->
+  k-nearest-neighbor graph (MXU distance matmuls)
+
+The reference runs these as sequential OMP/TBB passes over std::vectors; here
+XLA fuses the masked elementwise stages and the sort/top-k primitives do the
+rest, with a single host->device upload of the raw scan and one compiled
+program per (input-capacity, output-capacity) class.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glim_tpu.ops import covariance, knn, pointops
+from glim_tpu.preprocess.callbacks import PreprocessCallbacks
+from glim_tpu.types import PreprocessedFrame, RawPoints, capacity_for
+from glim_tpu.utils.logging import create_module_logger
+
+logger = create_module_logger("preprocess")
+
+
+@dataclass
+class CloudPreprocessorParams:
+    """Mirrors config_preprocess.json keys (reference defaults)."""
+
+    distance_near_thresh: float = 0.5
+    distance_far_thresh: float = 100.0
+    use_random_grid_downsampling: bool = True
+    downsample_resolution: float = 1.0
+    random_downsample_target: int = 10000
+    random_downsample_rate: float = 0.1
+    enable_outlier_removal: bool = False
+    outlier_removal_k: int = 10
+    outlier_std_mul_factor: float = 1.0
+    enable_cropbox_filter: bool = False
+    crop_bbox_frame: str = "lidar"
+    crop_bbox_min: np.ndarray = None
+    crop_bbox_max: np.ndarray = None
+    k_correspondences: int = 10
+    T_imu_lidar: np.ndarray = None
+
+    @staticmethod
+    def from_config(config, sensors_config=None) -> "CloudPreprocessorParams":
+        p = CloudPreprocessorParams()
+        g = lambda k, d: config.param("preprocess", k, d)
+        p.distance_near_thresh = g("distance_near_thresh", p.distance_near_thresh)
+        p.distance_far_thresh = g("distance_far_thresh", p.distance_far_thresh)
+        p.use_random_grid_downsampling = g("use_random_grid_downsampling", True)
+        p.downsample_resolution = g("downsample_resolution", 1.0)
+        p.random_downsample_target = int(g("random_downsample_target", 10000))
+        p.random_downsample_rate = g("random_downsample_rate", 0.1)
+        p.enable_outlier_removal = g("enable_outlier_removal", False)
+        p.outlier_removal_k = int(g("outlier_removal_k", 10))
+        p.outlier_std_mul_factor = g("outlier_std_mul_factor", 1.0)
+        p.enable_cropbox_filter = g("enable_cropbox_filter", False)
+        p.crop_bbox_frame = g("crop_bbox_frame", "lidar")
+        p.crop_bbox_min = np.asarray(g("crop_bbox_min", [-1.0, -1.0, -1.0]))
+        p.crop_bbox_max = np.asarray(g("crop_bbox_max", [1.0, 1.0, 1.0]))
+        p.k_correspondences = int(g("k_correspondences", 10))
+        if sensors_config is not None:
+            T_lidar_imu = sensors_config.param_se3("sensors", "T_lidar_imu")
+            p.T_imu_lidar = np.linalg.inv(T_lidar_imu)
+        return p
+
+
+@partial(jax.jit, static_argnames=("out_cap", "use_random_grid", "target", "k",
+                                   "enable_cropbox", "enable_outlier_removal"))
+def _preprocess_device(points, times, mask, rng, *,
+                       out_cap: int, use_random_grid: bool, target: int, k: int,
+                       enable_cropbox: bool, enable_outlier_removal: bool,
+                       near, far, resolution, bbox_T, bbox_min, bbox_max,
+                       outlier_std_mul):
+    """The fused device pipeline. Returns (points, times, mask, neighbors)."""
+    mask = pointops.distance_filter(points, mask, near, far)
+
+    if use_random_grid:
+        pts_d, mask_d, idx = pointops.randomgrid_sampling(points, mask, resolution, target, rng)
+        times_d = times[idx]
+    else:
+        pts_d, mask_d = pointops.voxelgrid_sampling(points, mask, resolution)
+        # Centroid times: nearest original point's time is a good proxy (the
+        # reference averages attributes; scan times vary smoothly in space).
+        nn_idx, _ = knn.knn_search(pts_d, mask_d, points, mask, k=1)
+        times_d = times[nn_idx[:, 0]]
+
+    pts_d = pts_d[:out_cap]
+    mask_d = mask_d[:out_cap]
+    times_d = times_d[:out_cap]
+
+    # Time sort (reference sorts per-point times ascending).
+    t_sort = jnp.where(mask_d, times_d, jnp.inf)
+    order = jnp.argsort(t_sort)
+    pts_d = pts_d[order]
+    times_d = jnp.where(mask_d[order], times_d[order], 0.0)
+    mask_d = mask_d[order]
+
+    if enable_cropbox:
+        mask_d = pointops.cropbox_filter(pts_d, mask_d, bbox_T, bbox_min, bbox_max)
+
+    neighbors, sq_dists = knn.knn_self(pts_d, mask_d, k)
+    if enable_outlier_removal:
+        mask_d = covariance.outlier_mask(sq_dists, mask_d, outlier_std_mul)
+
+    return pts_d, times_d, mask_d, neighbors
+
+
+class CloudPreprocessor:
+    """Sensor-agnostic scan preprocessing front-end."""
+
+    def __init__(self, params: Optional[CloudPreprocessorParams] = None,
+                 seed: int = 0):
+        self.params = params or CloudPreprocessorParams()
+        self._rng = jax.random.PRNGKey(seed)
+        tgt = self.params.random_downsample_target
+        self.out_capacity = capacity_for(max(tgt, 512))
+
+    def preprocess(self, raw: RawPoints) -> PreprocessedFrame:
+        PreprocessCallbacks.on_raw_points_received(raw)
+        p = self.params
+
+        n = raw.size
+        cap = capacity_for(max(n, 1024))
+        pts = np.zeros((cap, 3), np.float32)
+        pts[:n] = np.asarray(raw.points, np.float64)[:, :3]
+        tms = np.zeros(cap, np.float32)
+        if raw.times is not None and len(raw.times) == n:
+            tms[:n] = raw.times
+        mask = np.zeros(cap, bool)
+        mask[:n] = True
+
+        self._rng, sub = jax.random.split(self._rng)
+        bbox_T = np.eye(4, dtype=np.float32)
+        if p.enable_cropbox_filter and p.crop_bbox_frame == "imu" and p.T_imu_lidar is not None:
+            bbox_T = p.T_imu_lidar.astype(np.float32)
+
+        pts_d, times_d, mask_d, neighbors = _preprocess_device(
+            jnp.asarray(pts), jnp.asarray(tms), jnp.asarray(mask), sub,
+            out_cap=self.out_capacity,
+            use_random_grid=p.use_random_grid_downsampling,
+            target=p.random_downsample_target,
+            k=p.k_correspondences,
+            enable_cropbox=p.enable_cropbox_filter,
+            enable_outlier_removal=p.enable_outlier_removal,
+            near=jnp.float32(p.distance_near_thresh),
+            far=jnp.float32(p.distance_far_thresh),
+            resolution=jnp.float32(p.downsample_resolution),
+            bbox_T=jnp.asarray(bbox_T),
+            bbox_min=jnp.asarray(np.asarray(p.crop_bbox_min, np.float32)),
+            bbox_max=jnp.asarray(np.asarray(p.crop_bbox_max, np.float32)),
+            outlier_std_mul=jnp.float32(p.outlier_std_mul_factor),
+        )
+
+        times_np = np.asarray(times_d)
+        mask_np = np.asarray(mask_d)
+        scan_duration = float(times_np[mask_np].max()) if mask_np.any() else 0.0
+
+        frame = PreprocessedFrame(
+            stamp=raw.stamp,
+            scan_end_time=raw.stamp + scan_duration,
+            points=np.asarray(pts_d),
+            times=times_np,
+            intensities=None,
+            k_neighbors=p.k_correspondences,
+            neighbors=np.asarray(neighbors),
+            raw_points=raw,
+        )
+        frame.device_points = pts_d
+        frame.device_times = times_d
+        frame.device_mask = mask_d
+        frame.device_neighbors = neighbors
+        PreprocessCallbacks.on_filtering_finished(frame)
+        return frame

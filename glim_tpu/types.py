@@ -115,20 +115,31 @@ class RawPoints:
 
 @dataclass
 class PreprocessedFrame:
-    """Downsampled/filtered scan + kNN graph (reference: preprocess/preprocessed_frame.hpp:14-37)."""
+    """Downsampled/filtered scan + kNN graph (reference: preprocess/preprocessed_frame.hpp:14-37).
+
+    Arrays are PADDED to the preprocessor's output capacity; ``device_mask``
+    marks valid lanes. Host mirrors (``points``/``times``/``neighbors``) share
+    that padding.
+    """
 
     stamp: float
     scan_end_time: float
-    points: np.ndarray                      # (N, 3) f32 (host mirror)
-    times: np.ndarray                       # (N,) f32 relative times
+    points: np.ndarray                      # (C, 3) f32 (host mirror, padded)
+    times: np.ndarray                       # (C,) f32 relative times
     intensities: Optional[np.ndarray]
     k_neighbors: int
-    neighbors: Optional[np.ndarray]         # (N, k) int32 kNN indices
+    neighbors: Optional[np.ndarray]         # (C, k) int32 kNN indices
     raw_points: Optional[RawPoints] = None
-    batch: Optional[PointBatch] = None      # device-resident padded copy
+    # Device-resident padded arrays (set by CloudPreprocessor).
+    device_points: Optional[jnp.ndarray] = None   # (C, 3)
+    device_times: Optional[jnp.ndarray] = None    # (C,)
+    device_mask: Optional[jnp.ndarray] = None     # (C,)
+    device_neighbors: Optional[jnp.ndarray] = None  # (C, k)
 
     @property
     def size(self) -> int:
+        if self.device_mask is not None:
+            return int(np.asarray(self.device_mask).sum())
         return int(self.points.shape[0])
 
 

@@ -67,7 +67,7 @@ class TestVoxelgridSampling:
 class TestRandomgridSampling:
     def test_target_respected(self, rng):
         pts, mask = padded(rng, 900, 1024, scale=20.0)
-        out, omask = pointops.randomgrid_sampling(pts, mask, 2.0, 256, jax.random.PRNGKey(0))
+        out, omask, _ = pointops.randomgrid_sampling(pts, mask, 2.0, 256, jax.random.PRNGKey(0))
         n = int(np.asarray(omask).sum())
         assert 0 < n <= 256
         # All output points must be actual input points.
@@ -85,7 +85,7 @@ class TestRandomgridSampling:
         pts[800:900] = sparse
         mask = np.zeros(1024, bool)
         mask[:900] = True
-        out, omask = pointops.randomgrid_sampling(
+        out, omask, _ = pointops.randomgrid_sampling(
             jnp.asarray(pts), jnp.asarray(mask), 1.0, 200, jax.random.PRNGKey(1))
         outn = np.asarray(out)[np.asarray(omask)]
         n_far = (np.linalg.norm(outn, axis=1) > 5.0).sum()
@@ -117,7 +117,7 @@ class TestFilters:
 
     def test_random_sampling(self, rng):
         pts, mask = padded(rng, 800, 1024)
-        out, omask = pointops.random_sampling(pts, mask, 100, jax.random.PRNGKey(0))
+        out, omask, idx = pointops.random_sampling(pts, mask, 100, jax.random.PRNGKey(0))
         assert int(np.asarray(omask).sum()) == 100
 
     def test_compact(self):
