@@ -1,0 +1,58 @@
+"""Benchmark: odometry scan throughput on the attached accelerator.
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}; the baseline
+is the reference's real-time claim (10 Hz scan processing on a desktop GPU,
+reference docs/quickstart.md:6-10 — BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from glim_tpu.io.synthetic import generate_sequence, ate_rmse
+    from glim_tpu.odometry.odometry_estimation_cpu import (
+        OdometryEstimationCPU, OdometryEstimationCPUParams)
+    from glim_tpu.preprocess.cloud_preprocessor import (CloudPreprocessor,
+                                                        CloudPreprocessorParams)
+
+    # Reference-scale workload: 10k-point downsample target (the reference's
+    # default per-scan budget), VGICP frame-to-model odometry.
+    seq = generate_sequence(duration=6.0, scan_hz=10.0, n_scan_points=20000,
+                            noise=0.01, seed=7, scene_points=120000)
+    pp = CloudPreprocessor(CloudPreprocessorParams(
+        random_downsample_target=10000, downsample_resolution=0.3,
+        k_correspondences=10))
+    odom = OdometryEstimationCPU(OdometryEstimationCPUParams(
+        registration_type="VGICP", vgicp_resolution=0.5,
+        voxel_capacity=131072, max_iterations=8))
+
+    est = []
+    # Warmup: first few scans pay compilation.
+    n_warm = 5
+    for raw in seq.scans[:n_warm]:
+        est.append(odom.insert_frame(pp.preprocess(raw)).T_world_lidar)
+
+    t0 = time.perf_counter()
+    for raw in seq.scans[n_warm:]:
+        est.append(odom.insert_frame(pp.preprocess(raw)).T_world_lidar)
+    elapsed = time.perf_counter() - t0
+    n_timed = len(seq.scans) - n_warm
+    scans_per_sec = n_timed / elapsed
+
+    T0 = seq.gt_poses[0]
+    ate = ate_rmse([T0 @ T for T in est], seq.gt_poses, align=False)
+
+    print(json.dumps({
+        "metric": "odometry_scans_per_sec_10k_pts",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 10.0, 3),
+        "extra": {"ate_rmse_m": round(ate, 4), "n_scans": n_timed},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,5 +10,25 @@ callback slots, dump format).
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry code cannot tolerate bf16 matmul inputs (TPU default): kNN
+# distance expansions and SE(3) chains lose ~3 decimal digits. "highest"
+# keeps f32 effective precision on the MXU; the FLOP headroom vs this
+# workload is enormous, accuracy is not negotiable.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: TPU (re)compiles are expensive — especially
+# through remote-compile tunnels — and this workload reuses a small set of
+# static shapes, so cache hits are the common case.
+import os as _os
+
+_cache_dir = _os.environ.get("GLIM_TPU_COMPILE_CACHE",
+                             _os.path.expanduser("~/.cache/glim_tpu_xla"))
+if _cache_dir:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from glim_tpu.utils.config import Config, GlobalConfig  # noqa: F401
 from glim_tpu.utils.callbacks import CallbackSlot  # noqa: F401

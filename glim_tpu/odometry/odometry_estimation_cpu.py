@@ -2,23 +2,26 @@
 
 Equivalent capability to the reference's ``OdometryEstimationCPU``
 (reference: src/glim/odometry/odometry_estimation_cpu.cpp:77-224, params from
-config/config_odometry_cpu.json): per-frame standalone registration of the
-deskewed scan against an incremental model — an iVox-style bounded point map
-in GICP mode, a Gaussian voxel map in VGICP mode — followed by model update
-with random sampling and LRU horizon.
+config/config_odometry_cpu.json): per-frame registration of the deskewed scan
+against an incremental model — an iVox-style bounded point map in GICP mode, a
+Gaussian voxel map in VGICP mode — followed by model update with random
+sampling and an LRU horizon.
 
-The name keeps the reference's registry key ("cpu" = the non-voxelized-GPU
-configuration); the compute here runs on TPU either way. The per-frame solve
-is a fully-on-device Gauss-Newton scan (fixed iterations, no host sync);
-motion prediction is constant-velocity twist extrapolation which also drives
-deskewing. IMU tight coupling lives in odometry_estimation_imu.py.
+TPU-first design: the WHOLE per-scan step — deskew, covariance estimation,
+N Gauss-Newton iterations, twist update with EMA smoothing, model insertion —
+is ONE jitted function over a device-resident state pytree. The Python loop
+uploads a scan, dispatches, and never blocks; poses come back through lazy
+EstimationFrame fetches. (The reference's per-scan path is a chain of OMP
+passes + GTSAM solves on host threads; on a high-latency accelerator link
+every host sync costs more than the math, so the design goal is zero
+mandatory syncs per scan.)
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +31,7 @@ from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks as CB
 from glim_tpu.odometry.estimation_base import OdometryEstimationBase
 from glim_tpu.ops import covariance as cov_ops
 from glim_tpu.ops import deskew as deskew_ops
-from glim_tpu.ops import gicp, lie, lie_np, pointops, solver
+from glim_tpu.ops import gicp, lie, solver
 from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.types import EstimationFrame, FrameID, PointBatch, PreprocessedFrame
 from glim_tpu.utils.logging import create_module_logger
@@ -53,6 +56,8 @@ class OdometryEstimationCPUParams:
     voxel_capacity: int = 65536              # VGICP voxels
     enable_deskew: bool = True
     twist_smoothing: float = 0.25            # EMA gain on the twist estimate
+    bootstrap_frames: int = 5                # full-density model updates early
+    update_budget: int = 2048                # model-update points per scan
 
     @staticmethod
     def from_config(config) -> "OdometryEstimationCPUParams":
@@ -70,38 +75,112 @@ class OdometryEstimationCPUParams:
         return p
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def _register_gicp(T_init, pts, covs, mask, m_pts, m_covs, m_mask, max_dist, iters):
-    def linearize(T):
-        s = gicp.gicp_linearize(jnp.eye(4), T, pts, covs, mask,
-                                m_pts, m_covs, m_mask, max_dist)
-        return s.H_ss, s.b_s, s.error
+@jax.tree_util.register_dataclass
+@dataclass
+class OdomDeviceState:
+    """Device-resident odometry state threaded through the fused step."""
 
-    return solver.gn_optimize_scan(linearize, lambda T, d: T @ lie.se3_exp(d),
-                                   T_init, num_iters=iters)
-
-
-@partial(jax.jit, static_argnames=("iters",))
-def _register_vgicp(T_init, pts, covs, mask, vm, iters):
-    def linearize(T):
-        s = gicp.vgicp_linearize(jnp.eye(4), T, pts, covs, mask, vm)
-        return s.H_ss, s.b_s, s.error
-
-    return solver.gn_optimize_scan(linearize, lambda T, d: T @ lie.se3_exp(d),
-                                   T_init, num_iters=iters)
+    T: jnp.ndarray        # (4, 4) T_world_lidar (scan-start frame)
+    twist: jnp.ndarray    # (6,) body twist per second [omega, v]
+    step: jnp.ndarray     # () int32 frame counter
+    model: object         # GaussianVoxelMap or PointVoxelMap
 
 
-@jax.jit
-def _prepare_frame(pts, times, mask, neighbors, twist):
-    """Deskew (constant twist) + per-point covariance estimation, fused."""
+def _orthonormalize_dev(T: jnp.ndarray) -> jnp.ndarray:
+    """Two Newton-Schulz polar iterations keep R in SO(3) despite f32 chains."""
+    R = T[:3, :3]
+    for _ in range(2):
+        R = 1.5 * R - 0.5 * R @ (R.T @ R)
+    return T.at[:3, :3].set(R)
+
+
+def _common_prefix(state, pts, times, mask, neighbors, dt, enable_deskew):
+    twist = state.twist if enable_deskew else jnp.zeros(6)
     deskewed = deskew_ops.deskew_twist(pts, times, mask, twist)
     covs, normals = cov_ops.estimate_covariances(deskewed, mask, neighbors, "plane")
-    return deskewed, covs, normals
+    T_pred = state.T @ lie.se3_exp(state.twist * dt)
+    return deskewed, covs, normals, T_pred
 
 
-@jax.jit
-def _world_points(T, pts):
-    return pts @ T[:3, :3].T + T[:3, 3]
+def _finish_step(state, T_new, dt, deskewed, covs, mask, rng, *,
+                 ema: float, bootstrap_frames: int, update_budget: int,
+                 insert_fn):
+    # Twist update with EMA smoothing (unfiltered twists close a positive
+    # feedback loop through deskewing).
+    twist_raw = lie.se3_log(lie.se3_inv(state.T) @ T_new) / jnp.maximum(dt, 1e-4)
+    twist = ema * twist_raw + (1.0 - ema) * state.twist
+    twist = jnp.where(state.step == 0, state.twist, twist)
+    T_new = _orthonormalize_dev(T_new)
+
+    # Model update: early frames insert at full density (map bootstrap),
+    # later frames a random subset re-packed into a small fixed-size buffer
+    # so the sorted-table merge stays cheap.
+    w_pts = deskewed @ T_new[:3, :3].T + T_new[:3, 3]
+    R = T_new[:3, :3]
+    covs_w = jnp.einsum("ij,cjk,lk->cil", R, covs, R)
+
+    C = w_pts.shape[0]
+    rate = jnp.where(state.step < bootstrap_frames, 1.0, update_budget / C)
+    keep = mask & (jax.random.uniform(rng, (C,)) < rate)
+    new_model = insert_fn(state.model, w_pts, keep, covs_w, state.step)
+
+    return OdomDeviceState(T=T_new, twist=twist, step=state.step + 1,
+                           model=new_model)
+
+
+@partial(jax.jit, static_argnames=("iters", "ema", "bootstrap_frames",
+                                   "update_budget", "enable_deskew"))
+def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
+                     rng, *, iters: int, ema: float, bootstrap_frames: int,
+                     update_budget: int, enable_deskew: bool):
+    deskewed, covs, normals, T_pred = _common_prefix(
+        state, pts, times, mask, neighbors, dt, enable_deskew)
+
+    def linearize(T):
+        s = gicp.vgicp_linearize(jnp.eye(4), T, deskewed, covs, mask, state.model)
+        return s.H_ss, s.b_s, s.error
+
+    def gn(T, _):
+        H, b, err = linearize(T)
+        delta = solver.solve_damped(H, b, jnp.float32(1e-6))
+        return T @ lie.se3_exp(delta), err
+
+    T_new, errs = jax.lax.scan(gn, T_pred, None, length=iters)
+    new_state = _finish_step(state, T_new, dt, deskewed, covs, mask, rng,
+                             ema=ema, bootstrap_frames=bootstrap_frames,
+                             update_budget=update_budget,
+                             insert_fn=vmx.voxelmap_insert)
+    v_world = new_state.T[:3, :3] @ new_state.twist[3:]
+    return new_state, (new_state.T, v_world, deskewed, covs, normals, errs)
+
+
+@partial(jax.jit, static_argnames=("iters", "ema", "bootstrap_frames",
+                                   "update_budget", "enable_deskew"))
+def _gicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
+                    rng, max_dist, *, iters: int, ema: float,
+                    bootstrap_frames: int, update_budget: int,
+                    enable_deskew: bool):
+    deskewed, covs, normals, T_pred = _common_prefix(
+        state, pts, times, mask, neighbors, dt, enable_deskew)
+    model = state.model
+
+    def linearize(T):
+        s = gicp.gicp_linearize(jnp.eye(4), T, deskewed, covs, mask,
+                                model.points, model.covs, model.mask, max_dist)
+        return s.H_ss, s.b_s, s.error
+
+    def gn(T, _):
+        H, b, err = linearize(T)
+        delta = solver.solve_damped(H, b, jnp.float32(1e-6))
+        return T @ lie.se3_exp(delta), err
+
+    T_new, errs = jax.lax.scan(gn, T_pred, None, length=iters)
+    new_state = _finish_step(state, T_new, dt, deskewed, covs, mask, rng,
+                             ema=ema, bootstrap_frames=bootstrap_frames,
+                             update_budget=update_budget,
+                             insert_fn=vmx.pointmap_insert)
+    v_world = new_state.T[:3, :3] @ new_state.twist[3:]
+    return new_state, (new_state.T, v_world, deskewed, covs, normals, errs)
 
 
 class OdometryEstimationCPU(OdometryEstimationBase):
@@ -110,68 +189,55 @@ class OdometryEstimationCPU(OdometryEstimationBase):
         p = self.params
         self.use_vgicp = p.registration_type.upper().startswith("VGICP")
         if self.use_vgicp:
-            self.model = vmx.empty_gaussian_voxelmap(p.voxel_capacity, p.vgicp_resolution)
+            model = vmx.empty_gaussian_voxelmap(p.voxel_capacity, p.vgicp_resolution)
         else:
-            self.model = vmx.empty_point_voxelmap(p.model_capacity, p.ivox_min_dist)
+            model = vmx.empty_point_voxelmap(p.model_capacity, p.ivox_min_dist)
+        self.state = OdomDeviceState(T=jnp.eye(4), twist=jnp.zeros(6),
+                                     step=jnp.int32(0), model=model)
         self._rng = jax.random.PRNGKey(1)
-
         self.frame_count = 0
         self.last_stamp: Optional[float] = None
-        self.T_world_lidar = np.eye(4)
-        self.twist = np.zeros(6)             # body twist/sec [omega, v]
         self.frames: List[EstimationFrame] = []
-        self.imu_queue: List[np.ndarray] = []
 
     def requires_imu(self) -> bool:
         return False
 
     def insert_imu(self, stamp, linear_acc, angular_vel) -> None:
         CB.on_insert_imu(stamp, linear_acc, angular_vel)
-        # LiDAR-only module: IMU currently unused (see odometry_estimation_imu).
 
     def insert_frame(self, frame: PreprocessedFrame,
                      marginalized: Optional[List[EstimationFrame]] = None
                      ) -> Optional[EstimationFrame]:
         CB.on_insert_frame(frame)
         p = self.params
-        pts = frame.device_points
-        times = frame.device_times
-        mask = frame.device_mask
-        neighbors = frame.device_neighbors
-
         dt = 0.1 if self.last_stamp is None else max(frame.stamp - self.last_stamp, 1e-3)
+        self._rng, sub = jax.random.split(self._rng)
 
-        twist = self.twist if p.enable_deskew else np.zeros(6)
-        deskewed, covs, normals = _prepare_frame(
-            pts, times, mask, neighbors, jnp.asarray(twist, jnp.float32))
-
-        if self.frame_count == 0:
-            T_new = jnp.eye(4)
+        kwargs = dict(iters=p.max_iterations, ema=p.twist_smoothing,
+                      bootstrap_frames=p.bootstrap_frames,
+                      update_budget=p.update_budget,
+                      enable_deskew=p.enable_deskew)
+        if self.use_vgicp:
+            self.state, out = _vgicp_scan_step(
+                self.state, frame.device_points, frame.device_times,
+                frame.device_mask, frame.device_neighbors,
+                jnp.float32(dt), sub, **kwargs)
         else:
-            T_pred = self.T_world_lidar @ lie_np.se3_exp(self.twist * dt)
-            T_new, errs = self._register(jnp.asarray(T_pred, jnp.float32),
-                                         deskewed, covs, mask)
-            T_new_np = np.asarray(T_new, np.float64)
-            twist_new = lie_np.se3_log(np.linalg.inv(self.T_world_lidar) @ T_new_np) / dt
-            # EMA-smooth the twist: raw per-step twists feed deskewing, and an
-            # unfiltered estimate closes a positive feedback loop (pose noise
-            # -> twist noise -> deskew corruption -> amplified pose noise).
-            a = self.params.twist_smoothing
-            self.twist = a * twist_new + (1.0 - a) * self.twist
-            self.T_world_lidar = _orthonormalize(T_new_np)
-
-        self._update_model(T_new if self.frame_count > 0 else jnp.eye(4),
-                           deskewed, covs, mask)
+            self.state, out = _gicp_scan_step(
+                self.state, frame.device_points, frame.device_times,
+                frame.device_mask, frame.device_neighbors,
+                jnp.float32(dt), sub, jnp.float32(p.max_correspondence_distance),
+                **kwargs)
+        T_dev, v_dev, deskewed, covs, normals, errs = out
 
         est = EstimationFrame(
             id=self.frame_count,
             stamp=frame.stamp,
-            T_world_lidar=self.T_world_lidar.copy(),
-            T_world_imu=self.T_world_lidar.copy(),
-            v_world_imu=(self.T_world_lidar[:3, :3] @ self.twist[3:]).copy(),
+            device_T_world_lidar=T_dev,
+            device_v_world_imu=v_dev,
             frame_id=FrameID.LIDAR,
-            frame=PointBatch(points=deskewed, mask=mask, times=times,
-                             covs=covs, normals=normals),
+            frame=PointBatch(points=deskewed, mask=frame.device_mask,
+                             times=frame.device_times, covs=covs, normals=normals),
             raw_frame=frame,
         )
         self.frames.append(est)
@@ -195,43 +261,6 @@ class OdometryEstimationCPU(OdometryEstimationBase):
         out = self.frames
         self.frames = []
         return out
-
-    # -- internals --
-
-    def _register(self, T_init, pts, covs, mask):
-        p = self.params
-        if self.use_vgicp:
-            return _register_vgicp(T_init, pts, covs, mask, self.model,
-                                   iters=p.max_iterations)
-        return _register_gicp(T_init, pts, covs, mask,
-                              self.model.points, self.model.covs, self.model.mask,
-                              jnp.float32(p.max_correspondence_distance),
-                              iters=p.max_iterations)
-
-    def _update_model(self, T, pts, covs, mask):
-        p = self.params
-        w_pts = _world_points(T, pts)
-        if self.frame_count >= 5 and p.target_downsampling_rate < 1.0:
-            self._rng, sub = jax.random.split(self._rng)
-            target = int(pts.shape[0] * p.target_downsampling_rate)
-            w_pts, mask, idx = pointops.random_sampling(w_pts, mask, target, sub)
-            covs = covs[idx]
-        # Rotate covariances into world frame.
-        R = T[:3, :3]
-        covs_w = jnp.einsum("ij,cjk,lk->cil", R, covs, R)
-        step = jnp.int32(self.frame_count)
-        if self.use_vgicp:
-            self.model = vmx.voxelmap_insert(self.model, w_pts, mask, covs_w, step)
-        else:
-            self.model = vmx.pointmap_insert(self.model, w_pts, mask, covs_w, step)
-
-
-def _orthonormalize(T: np.ndarray) -> np.ndarray:
-    U, _, Vt = np.linalg.svd(T[:3, :3])
-    out = np.eye(4)
-    out[:3, :3] = U @ np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))]) @ Vt
-    out[:3, 3] = T[:3, 3]
-    return out
 
 
 @register_module("odometry", "odometry_estimation_cpu")

@@ -70,7 +70,67 @@ def knn_search(queries: jnp.ndarray, query_mask: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("k",))
 def knn_self(points: jnp.ndarray, mask: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """kNN graph of a cloud against itself, self-match included as neighbor 0
-    (matches the reference's find_neighbors semantics,
+    """Exact kNN graph of a cloud against itself, self-match included as
+    neighbor 0 (matches the reference's find_neighbors semantics,
     preprocess/cloud_preprocessor.cpp:190-221)."""
     return knn_search(points, mask, points, mask, k=k, exclude_self=False)
+
+
+def _morton_expand10(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v so they occupy every 3rd bit."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x30000FF
+    v = (v | (v << 8)) & 0x300F00F
+    v = (v | (v << 4)) & 0x30C30C3
+    v = (v | (v << 2)) & 0x9249249
+    return v
+
+
+def morton_code(coords: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) int32 voxel coords -> (...,) int32 Morton (Z-order) code.
+    Coords are offset-shifted into [0, 1024) per axis (10 bits each)."""
+    c = jnp.clip(coords + 512, 0, 1023)
+    return (_morton_expand10(c[..., 0])
+            | (_morton_expand10(c[..., 1]) << 1)
+            | (_morton_expand10(c[..., 2]) << 2))
+
+
+@partial(jax.jit, static_argnames=("k", "window"))
+def knn_banded(points: jnp.ndarray, mask: jnp.ndarray, k: int,
+               window: int = 64, cell: float = 0.25
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate self-kNN via Morton-order banding.
+
+    Sort points along a Z-order curve (locality-preserving, unlike the voxel
+    mixing hash), then search only a +-window/2 band in the sorted order —
+    O(N window) instead of O(N^2). For the k~10 covariance neighborhoods of a
+    dense scan this recovers almost the same neighbor sets as exact kNN at a
+    fraction of the cost; self-match is included as in knn_self.
+    """
+    C = points.shape[0]
+    coords = jnp.floor(points / cell).astype(jnp.int32)
+    key = jnp.where(mask, morton_code(coords), jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    pts_s = points[order]
+    mask_s = mask[order]
+
+    offs = jnp.arange(window) - window // 2                      # includes 0
+    idx = jnp.arange(C)[:, None] + offs[None, :]                 # (C, W)
+    idx_c = jnp.clip(idx, 0, C - 1)
+    cand = pts_s[idx_c]                                          # (C, W, 3)
+    cand_ok = mask_s[idx_c] & (idx >= 0) & (idx < C)
+    diff = cand - pts_s[:, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.where(cand_ok, d2, jnp.inf)
+
+    neg, jsel = jax.lax.top_k(-d2, k)                            # (C, k) within band
+    nbr_sorted = jnp.take_along_axis(idx_c, jsel, axis=1)
+    nbr = order[nbr_sorted]                                      # original indices
+    d2k = -neg
+    # Undo the sort on the output rows.
+    inv = jnp.argsort(order)
+    nbr = nbr[inv]
+    d2k = d2k[inv]
+    d2k = jnp.where(mask[:, None], d2k, jnp.inf)
+    nbr = jnp.where(mask[:, None], nbr, 0)
+    return nbr.astype(jnp.int32), d2k

@@ -52,6 +52,9 @@ class CloudPreprocessorParams:
     crop_bbox_max: np.ndarray = None
     k_correspondences: int = 10
     T_imu_lidar: np.ndarray = None
+    exact_knn: bool = False                  # banded Morton kNN by default
+    knn_window: int = 64
+    quantize_resolution: float = 0.005       # upload quantization [m/LSB]
 
     @staticmethod
     def from_config(config, sensors_config=None) -> "CloudPreprocessorParams":
@@ -78,13 +81,24 @@ class CloudPreprocessorParams:
 
 
 @partial(jax.jit, static_argnames=("out_cap", "use_random_grid", "target", "k",
-                                   "enable_cropbox", "enable_outlier_removal"))
-def _preprocess_device(points, times, mask, rng, *,
+                                   "enable_cropbox", "enable_outlier_removal",
+                                   "exact_knn", "knn_window"))
+def _preprocess_device(packed, n_valid, pt_scale, t_scale, rng, *,
                        out_cap: int, use_random_grid: bool, target: int, k: int,
                        enable_cropbox: bool, enable_outlier_removal: bool,
+                       exact_knn: bool, knn_window: int,
                        near, far, resolution, bbox_T, bbox_min, bbox_max,
                        outlier_std_mul):
-    """The fused device pipeline. Returns (points, times, mask, neighbors)."""
+    """The fused device pipeline. Returns (points, times, mask, neighbors).
+
+    ``packed`` is the quantized upload: (C, 4) int16 [x, y, z, t] with
+    points at pt_scale meters/LSB and times at t_scale seconds/LSB — 8 bytes
+    per point over the host->device link instead of 20.
+    """
+    C = packed.shape[0]
+    points = packed[:, :3].astype(jnp.float32) * pt_scale
+    times = packed[:, 3].astype(jnp.float32) * t_scale
+    mask = jnp.arange(C) < n_valid
     mask = pointops.distance_filter(points, mask, near, far)
 
     if use_random_grid:
@@ -111,7 +125,11 @@ def _preprocess_device(points, times, mask, rng, *,
     if enable_cropbox:
         mask_d = pointops.cropbox_filter(pts_d, mask_d, bbox_T, bbox_min, bbox_max)
 
-    neighbors, sq_dists = knn.knn_self(pts_d, mask_d, k)
+    if exact_knn:
+        neighbors, sq_dists = knn.knn_self(pts_d, mask_d, k)
+    else:
+        neighbors, sq_dists = knn.knn_banded(pts_d, mask_d, k, window=knn_window,
+                                             cell=2.0 * resolution)
     if enable_outlier_removal:
         mask_d = covariance.outlier_mask(sq_dists, mask_d, outlier_std_mul)
 
@@ -129,32 +147,46 @@ class CloudPreprocessor:
         self.out_capacity = capacity_for(max(tgt, 512))
 
     def preprocess(self, raw: RawPoints) -> PreprocessedFrame:
+        """Fully asynchronous: one packed host->device upload, one fused jit
+        dispatch, zero device->host syncs (host mirrors fetch lazily)."""
         PreprocessCallbacks.on_raw_points_received(raw)
         p = self.params
 
         n = raw.size
         cap = capacity_for(max(n, 1024))
-        pts = np.zeros((cap, 3), np.float32)
-        pts[:n] = np.asarray(raw.points, np.float64)[:, :3]
-        tms = np.zeros(cap, np.float32)
-        if raw.times is not None and len(raw.times) == n:
-            tms[:n] = raw.times
-        mask = np.zeros(cap, bool)
-        mask[:n] = True
+        # Quantized single-buffer upload: (cap, 4) int16 [x y z t]. 8 B/point
+        # over the host->device link; 5 mm position resolution is well under
+        # LiDAR sensor noise.
+        pt_scale = p.quantize_resolution
+        if raw.times is not None and len(raw.times) == n and n:
+            scan_duration = float(np.max(raw.times))
+        else:
+            scan_duration = 0.0
+        t_scale = max(scan_duration, 1e-3) / 32000.0
+        packed = np.zeros((cap, 4), np.int16)
+        pts64 = np.array(np.asarray(raw.points, np.float64)[:, :3])  # copy: raw must not be mutated
+        pts64 /= pt_scale
+        np.clip(pts64, -32767, 32767, out=pts64)
+        packed[:n, :3] = pts64.round()
+        if scan_duration > 0.0:
+            packed[:n, 3] = np.clip(np.asarray(raw.times) / t_scale, 0, 32767).round()
 
         self._rng, sub = jax.random.split(self._rng)
         bbox_T = np.eye(4, dtype=np.float32)
         if p.enable_cropbox_filter and p.crop_bbox_frame == "imu" and p.T_imu_lidar is not None:
             bbox_T = p.T_imu_lidar.astype(np.float32)
 
+        dev = jax.device_put(packed)
         pts_d, times_d, mask_d, neighbors = _preprocess_device(
-            jnp.asarray(pts), jnp.asarray(tms), jnp.asarray(mask), sub,
+            dev, jnp.int32(n), jnp.float32(pt_scale), jnp.float32(t_scale), sub,
             out_cap=self.out_capacity,
             use_random_grid=p.use_random_grid_downsampling,
             target=p.random_downsample_target,
             k=p.k_correspondences,
             enable_cropbox=p.enable_cropbox_filter,
             enable_outlier_removal=p.enable_outlier_removal,
+            exact_knn=p.exact_knn,
+            knn_window=p.knn_window,
             near=jnp.float32(p.distance_near_thresh),
             far=jnp.float32(p.distance_far_thresh),
             resolution=jnp.float32(p.downsample_resolution),
@@ -164,23 +196,15 @@ class CloudPreprocessor:
             outlier_std_mul=jnp.float32(p.outlier_std_mul_factor),
         )
 
-        times_np = np.asarray(times_d)
-        mask_np = np.asarray(mask_d)
-        scan_duration = float(times_np[mask_np].max()) if mask_np.any() else 0.0
-
         frame = PreprocessedFrame(
             stamp=raw.stamp,
             scan_end_time=raw.stamp + scan_duration,
-            points=np.asarray(pts_d),
-            times=times_np,
-            intensities=None,
             k_neighbors=p.k_correspondences,
-            neighbors=np.asarray(neighbors),
+            device_points=pts_d,
+            device_times=times_d,
+            device_mask=mask_d,
+            device_neighbors=neighbors,
             raw_points=raw,
         )
-        frame.device_points = pts_d
-        frame.device_times = times_d
-        frame.device_mask = mask_d
-        frame.device_neighbors = neighbors
         PreprocessCallbacks.on_filtering_finished(frame)
         return frame

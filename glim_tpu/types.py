@@ -113,34 +113,58 @@ class RawPoints:
         return int(self.points.shape[0])
 
 
-@dataclass
 class PreprocessedFrame:
     """Downsampled/filtered scan + kNN graph (reference: preprocess/preprocessed_frame.hpp:14-37).
 
     Arrays are PADDED to the preprocessor's output capacity; ``device_mask``
-    marks valid lanes. Host mirrors (``points``/``times``/``neighbors``) share
-    that padding.
+    marks valid lanes. The hot path is fully device-resident — host mirrors
+    (``points``/``times``/``neighbors``) are fetched LAZILY on first access so
+    the pipeline never blocks on a device->host transfer it does not need.
     """
 
-    stamp: float
-    scan_end_time: float
-    points: np.ndarray                      # (C, 3) f32 (host mirror, padded)
-    times: np.ndarray                       # (C,) f32 relative times
-    intensities: Optional[np.ndarray]
-    k_neighbors: int
-    neighbors: Optional[np.ndarray]         # (C, k) int32 kNN indices
-    raw_points: Optional[RawPoints] = None
-    # Device-resident padded arrays (set by CloudPreprocessor).
-    device_points: Optional[jnp.ndarray] = None   # (C, 3)
-    device_times: Optional[jnp.ndarray] = None    # (C,)
-    device_mask: Optional[jnp.ndarray] = None     # (C,)
-    device_neighbors: Optional[jnp.ndarray] = None  # (C, k)
+    def __init__(self, stamp: float, scan_end_time: float, k_neighbors: int,
+                 device_points=None, device_times=None, device_mask=None,
+                 device_neighbors=None, raw_points: Optional[RawPoints] = None,
+                 points: Optional[np.ndarray] = None,
+                 times: Optional[np.ndarray] = None,
+                 intensities: Optional[np.ndarray] = None,
+                 neighbors: Optional[np.ndarray] = None):
+        self.stamp = stamp
+        self.scan_end_time = scan_end_time
+        self.k_neighbors = k_neighbors
+        self.device_points = device_points      # (C, 3)
+        self.device_times = device_times        # (C,)
+        self.device_mask = device_mask          # (C,)
+        self.device_neighbors = device_neighbors  # (C, k)
+        self.raw_points = raw_points
+        self.intensities = intensities
+        self._points = points
+        self._times = times
+        self._neighbors = neighbors
+
+    @property
+    def points(self) -> Optional[np.ndarray]:
+        if self._points is None and self.device_points is not None:
+            self._points = np.asarray(self.device_points)
+        return self._points
+
+    @property
+    def times(self) -> Optional[np.ndarray]:
+        if self._times is None and self.device_times is not None:
+            self._times = np.asarray(self.device_times)
+        return self._times
+
+    @property
+    def neighbors(self) -> Optional[np.ndarray]:
+        if self._neighbors is None and self.device_neighbors is not None:
+            self._neighbors = np.asarray(self.device_neighbors)
+        return self._neighbors
 
     @property
     def size(self) -> int:
         if self.device_mask is not None:
             return int(np.asarray(self.device_mask).sum())
-        return int(self.points.shape[0])
+        return int(self._points.shape[0]) if self._points is not None else 0
 
 
 class FrameID(enum.Enum):
@@ -149,30 +173,87 @@ class FrameID(enum.Enum):
     IMU = "imu"
 
 
-@dataclass
 class EstimationFrame:
-    """One odometry estimation frame (reference: odometry/estimation_frame.hpp:14-107)."""
+    """One odometry estimation frame (reference: odometry/estimation_frame.hpp:14-107).
 
-    id: int = -1
-    stamp: float = 0.0
+    World poses may be backed by device arrays (``device_T_world_lidar``) and
+    are fetched lazily, so the odometry hot loop never blocks on the pose
+    transfer — only consumers that actually read ``T_world_lidar`` do.
+    """
 
-    T_lidar_imu: np.ndarray = field(default_factory=lambda: np.eye(4))
-    T_world_lidar: np.ndarray = field(default_factory=lambda: np.eye(4))
-    T_world_imu: np.ndarray = field(default_factory=lambda: np.eye(4))
+    def __init__(self, id: int = -1, stamp: float = 0.0,
+                 T_lidar_imu: Optional[np.ndarray] = None,
+                 T_world_lidar: Optional[np.ndarray] = None,
+                 T_world_imu: Optional[np.ndarray] = None,
+                 device_T_world_lidar=None,
+                 v_world_imu: Optional[np.ndarray] = None,
+                 device_v_world_imu=None,
+                 imu_bias: Optional[np.ndarray] = None,
+                 imu_rate_trajectory: Optional[np.ndarray] = None,
+                 cov_pose: Optional[np.ndarray] = None,
+                 cov_velocity: Optional[np.ndarray] = None,
+                 cov_bias: Optional[np.ndarray] = None,
+                 frame_id: FrameID = FrameID.LIDAR,
+                 frame: Optional[PointBatch] = None,
+                 raw_frame: Optional[PreprocessedFrame] = None,
+                 voxelmaps: Optional[List[Any]] = None,
+                 custom_data: Optional[Dict[str, Any]] = None):
+        self.id = id
+        self.stamp = stamp
+        self.T_lidar_imu = np.eye(4) if T_lidar_imu is None else T_lidar_imu
+        self._T_world_lidar = T_world_lidar
+        self._T_world_imu = T_world_imu
+        self.device_T_world_lidar = device_T_world_lidar
+        self._v_world_imu = v_world_imu
+        self.device_v_world_imu = device_v_world_imu
+        self.imu_bias = np.zeros(6) if imu_bias is None else imu_bias
+        self.imu_rate_trajectory = imu_rate_trajectory
+        self.cov_pose = cov_pose
+        self.cov_velocity = cov_velocity
+        self.cov_bias = cov_bias
+        self.frame_id = frame_id
+        self.frame = frame
+        self.raw_frame = raw_frame
+        self.voxelmaps = [] if voxelmaps is None else voxelmaps
+        self.custom_data = {} if custom_data is None else custom_data
 
-    v_world_imu: np.ndarray = field(default_factory=lambda: np.zeros(3))
-    imu_bias: np.ndarray = field(default_factory=lambda: np.zeros(6))  # [acc, gyro]
-    imu_rate_trajectory: Optional[np.ndarray] = None  # (8, N) rows: t x y z qx qy qz qw
+    @property
+    def T_world_lidar(self) -> np.ndarray:
+        if self._T_world_lidar is None:
+            if self.device_T_world_lidar is not None:
+                self._T_world_lidar = np.asarray(self.device_T_world_lidar, np.float64)
+            else:
+                self._T_world_lidar = np.eye(4)
+        return self._T_world_lidar
 
-    cov_pose: Optional[np.ndarray] = None   # (6, 6)
-    cov_velocity: Optional[np.ndarray] = None
-    cov_bias: Optional[np.ndarray] = None
+    @T_world_lidar.setter
+    def T_world_lidar(self, T) -> None:
+        self._T_world_lidar = np.asarray(T, np.float64)
 
-    frame_id: FrameID = FrameID.LIDAR
-    frame: Optional[PointBatch] = None      # deskewed points (+covs/normals)
-    raw_frame: Optional[PreprocessedFrame] = None
-    voxelmaps: List[Any] = field(default_factory=list)  # multi-resolution GaussianVoxelMaps
-    custom_data: Dict[str, Any] = field(default_factory=dict)
+    @property
+    def T_world_imu(self) -> np.ndarray:
+        # Reference convention (config_sensors.json): p_lidar = T_lidar_imu *
+        # p_imu, hence T_world_imu = T_world_lidar * T_lidar_imu.
+        if self._T_world_imu is None:
+            self._T_world_imu = self.T_world_lidar @ self.T_lidar_imu
+        return self._T_world_imu
+
+    @T_world_imu.setter
+    def T_world_imu(self, T) -> None:
+        self._T_world_imu = np.asarray(T, np.float64)
+
+    @property
+    def v_world_imu(self) -> np.ndarray:
+        if self._v_world_imu is None:
+            if self.device_v_world_imu is not None:
+                self._v_world_imu = np.asarray(self.device_v_world_imu, np.float64)
+            else:
+                self._v_world_imu = np.zeros(3)
+        return self._v_world_imu
+
+    @v_world_imu.setter
+    def v_world_imu(self, v) -> None:
+        self._v_world_imu = np.asarray(v, np.float64)
 
     def T_world_sensor(self) -> np.ndarray:
         if self.frame_id == FrameID.LIDAR:
@@ -187,7 +268,7 @@ class EstimationFrame:
             self.T_world_imu = T @ self.T_lidar_imu
         elif self.frame_id == FrameID.IMU:
             self.T_world_imu = T
-            self.T_world_lidar = T @ np.linalg.inv(self.T_lidar_imu)
+            self.T_world_lidar = T @ np.linalg.inv(self.T_lidar_imu)  # T_world_imu * T_imu_lidar
         else:
             raise ValueError("cannot set world pose for WORLD frame")
 
