@@ -29,15 +29,20 @@ def main():
         registration_type="VGICP", vgicp_resolution=0.5,
         voxel_capacity=131072, max_iterations=8))
 
-    est = []
+    frames = []
     # Warmup: first few scans pay compilation.
     n_warm = 5
     for raw in seq.scans[:n_warm]:
-        est.append(odom.insert_frame(pp.preprocess(raw)).T_world_lidar)
+        frames.append(odom.insert_frame(pp.preprocess(raw)))
+    _ = [f.T_world_lidar for f in frames]  # drain the warmup queue
 
+    # Timed region: the host loop dispatches asynchronously (poses are
+    # consumed at the end, like a viewer polling at its own rate); the final
+    # fetches stay inside the timing so nothing is hidden.
     t0 = time.perf_counter()
     for raw in seq.scans[n_warm:]:
-        est.append(odom.insert_frame(pp.preprocess(raw)).T_world_lidar)
+        frames.append(odom.insert_frame(pp.preprocess(raw)))
+    est = [f.T_world_lidar for f in frames]
     elapsed = time.perf_counter() - t0
     n_timed = len(seq.scans) - n_warm
     scans_per_sec = n_timed / elapsed

@@ -1,0 +1,308 @@
+"""Pose-graph global mapping backend with loop closure.
+
+Equivalent capability to the reference's ``GlobalMappingPoseGraph``
+(reference: src/glim/mapping/global_mapping_pose_graph.cpp:251-473, params
+from config/config_global_mapping_pose_graph.json): SE3 between factors chain
+the submap odometry; loop candidates are gated by travel-distance difference
+and euclidean proximity, validated by registration + inlier fraction, and
+added as Huber-robust between factors; the whole graph is re-solved by batch
+LM (replacing iSAM2 — submap counts are small enough that a dense solve on
+the MXU beats incremental sparse factorization).
+
+Graph capacities are padded to power-of-two classes so the jitted linearize/
+solve programs are reused as the map grows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glim_tpu.mapping.callbacks import GlobalMappingCallbacks as CB
+from glim_tpu.mapping.global_mapping_base import GlobalMappingBase
+from glim_tpu.ops import factors as fct
+from glim_tpu.ops import gicp, lie, lie_np, solver
+from glim_tpu.ops import voxelmap as vmx
+from glim_tpu.types import SubMap
+from glim_tpu.utils.logging import create_module_logger
+from glim_tpu.utils.registry import register_module
+
+logger = create_module_logger("global")
+
+
+@dataclass
+class GlobalMappingPoseGraphParams:
+    enable_optimization: bool = True
+    init_pose_damping_scale: float = 1e6
+    registration_type: str = "VGICP"
+    min_travel_dist: float = 50.0
+    max_neighbor_dist: float = 5.0
+    min_inliear_fraction: float = 0.5       # (sic — reference key spelling)
+    subsample_target: int = 10000
+    gicp_max_correspondence_dist: float = 2.0
+    vgicp_voxel_resolution: float = 2.0
+    odom_factor_stddev: float = 1e-3
+    loop_factor_stddev: float = 0.1
+    loop_factor_robust_width: float = 1.0
+    loop_candidate_buffer_size: int = 100
+    loop_candidate_eval_per_insert: int = 2
+    registration_iterations: int = 10
+    voxel_capacity: int = 32768
+
+    @staticmethod
+    def from_config(config) -> "GlobalMappingPoseGraphParams":
+        p = GlobalMappingPoseGraphParams()
+        g = lambda k, d: config.param("global_mapping", k, d)
+        p.enable_optimization = g("enable_optimization", True)
+        p.init_pose_damping_scale = g("init_pose_damping_scale", 1e6)
+        p.registration_type = g("registration_type", "VGICP")
+        p.min_travel_dist = g("min_travel_dist", 50.0)
+        p.max_neighbor_dist = g("max_neighbor_dist", 5.0)
+        p.min_inliear_fraction = g("min_inliear_fraction", 0.5)
+        p.subsample_target = int(g("subsample_target", 10000))
+        p.gicp_max_correspondence_dist = g("gicp_max_correspondence_dist", 2.0)
+        p.vgicp_voxel_resolution = g("vgicp_voxel_resolution", 2.0)
+        p.odom_factor_stddev = g("odom_factor_stddev", 1e-3)
+        p.loop_factor_stddev = g("loop_factor_stddev", 0.1)
+        p.loop_factor_robust_width = g("loop_factor_robust_width", 1.0)
+        p.loop_candidate_buffer_size = int(g("loop_candidate_buffer_size", 100))
+        p.loop_candidate_eval_per_insert = int(g("loop_candidate_eval_per_thread", 2))
+        return p
+
+
+def _pad_pow2(n: int, minimum: int = 8) -> int:
+    c = minimum
+    while c < n:
+        c *= 2
+    return c
+
+
+@partial(jax.jit, static_argnames=("n_pose_cap", "n_factor_cap"))
+def _linearize_graph(poses, T_i_idx, T_j_idx, Z, sqrt_info, huber, f_valid,
+                     prior_T, prior_info, *, n_pose_cap: int, n_factor_cap: int):
+    """Dense GN system over all poses from padded factor arrays."""
+    T_i = poses[T_i_idx]
+    T_j = poses[T_j_idx]
+    batch = fct.between_linearize(T_i, T_j, Z, sqrt_info, huber)
+    # Zero out padded factors.
+    w = f_valid.astype(jnp.float32)
+    batch = fct.BetweenBatch(
+        H_ii=batch.H_ii * w[:, None, None], H_ij=batch.H_ij * w[:, None, None],
+        H_jj=batch.H_jj * w[:, None, None], b_i=batch.b_i * w[:, None],
+        b_j=batch.b_j * w[:, None], error=batch.error * w, weight=batch.weight)
+
+    D = n_pose_cap * 6
+    H = jnp.zeros((D, D))
+    b = jnp.zeros(D)
+    H, b = fct.scatter_between(H, b, batch, T_i_idx, T_j_idx)
+
+    # Gauge prior on pose 0.
+    pH, pb, perr = fct.prior_linearize(prior_T[None], prior_T[None], prior_info[None])
+    H = H.at[:6, :6].add(pH[0])
+    b = b.at[:6].add(pb[0])
+    # Tiny damping on every pose block keeps padded/disconnected poses fixed.
+    H = H + jnp.eye(D) * 1e-6
+    err = jnp.sum(batch.error) + perr[0]
+    return H, b, err
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _register_vgicp_pair(T_init_rel, pts, covs, mask, vm, iters: int):
+    """Relative registration: source cloud vs target submap voxelmap
+    (both in their submap-origin frames)."""
+
+    def linearize(T):
+        s = gicp.vgicp_linearize(jnp.eye(4), T, pts, covs, mask, vm)
+        return s.H_ss, s.b_s, s.error
+
+    def gn(T, _):
+        H, b, err = linearize(T)
+        delta = solver.solve_damped(H, b, jnp.float32(1e-6))
+        return T @ lie.se3_exp(delta), err
+
+    return jax.lax.scan(gn, T_init_rel, None, length=iters)
+
+
+class GlobalMappingPoseGraph(GlobalMappingBase):
+    def __init__(self, params: Optional[GlobalMappingPoseGraphParams] = None):
+        self.params = params or GlobalMappingPoseGraphParams()
+        self.submaps: List[SubMap] = []
+        self.poses: List[np.ndarray] = []          # current world estimates
+        self.odom_poses: List[np.ndarray] = []     # raw odometry submap poses
+        self.travel_dist: List[float] = []
+        self.voxelmaps: List[vmx.GaussianVoxelMap] = []
+        # factor storage (host lists; padded device arrays built on demand)
+        self.f_i: List[int] = []
+        self.f_j: List[int] = []
+        self.f_Z: List[np.ndarray] = []
+        self.f_info: List[np.ndarray] = []
+        self.f_huber: List[float] = []
+        self.candidates: List[Tuple[int, int]] = []
+        self.num_loops = 0
+
+        CB.request_to_optimize.add(lambda: self.optimize())
+
+    # -- insertion --
+
+    def insert_submap(self, submap: SubMap) -> None:
+        CB.on_insert_submap(submap)
+        p = self.params
+        i = len(self.submaps)
+        T_odom = np.asarray(submap.T_world_origin, np.float64)
+
+        if i == 0:
+            T_est = T_odom
+            self.travel_dist.append(0.0)
+        else:
+            dZ = np.linalg.inv(self.odom_poses[-1]) @ T_odom
+            T_est = self.poses[-1] @ dZ
+            self.travel_dist.append(self.travel_dist[-1] + float(np.linalg.norm(dZ[:3, 3])))
+            # Odometry between factor.
+            self._add_factor(i - 1, i, dZ, 1.0 / p.odom_factor_stddev, -1.0)
+
+        self.submaps.append(submap)
+        self.odom_poses.append(T_odom)
+        self.poses.append(T_est)
+
+        vm = vmx.empty_gaussian_voxelmap(p.voxel_capacity, p.vgicp_voxel_resolution)
+        covs = submap.frame.covs
+        if covs is None:
+            covs = jnp.zeros(submap.frame.points.shape[:1] + (3, 3), jnp.float32)
+        vm = vmx.voxelmap_insert(vm, submap.frame.points, submap.frame.mask,
+                                 covs, jnp.int32(0))
+        self.voxelmaps.append(vm)
+
+        self._find_loop_candidates(i)
+        self._eval_candidates(p.loop_candidate_eval_per_insert)
+
+        if p.enable_optimization:
+            self.optimize()
+
+    # -- loop closure --
+
+    def _find_loop_candidates(self, i: int) -> None:
+        p = self.params
+        pi = self.poses[i][:3, 3]
+        for j in range(i):
+            if self.travel_dist[i] - self.travel_dist[j] < p.min_travel_dist:
+                continue
+            if np.linalg.norm(self.poses[j][:3, 3] - pi) > p.max_neighbor_dist:
+                continue
+            self.candidates.append((j, i))
+        if len(self.candidates) > p.loop_candidate_buffer_size:
+            self.candidates = self.candidates[-p.loop_candidate_buffer_size:]
+
+    def _eval_candidates(self, budget: int) -> None:
+        p = self.params
+        for _ in range(min(budget, len(self.candidates))):
+            tgt, src = self.candidates.pop(0)
+            sm = self.submaps[src]
+            T_rel_init = np.linalg.inv(self.poses[tgt]) @ self.poses[src]
+            covs = sm.frame.covs
+            if covs is None:
+                covs = jnp.zeros(sm.frame.points.shape[:1] + (3, 3), jnp.float32)
+            T_rel, errs = _register_vgicp_pair(
+                jnp.asarray(T_rel_init, jnp.float32), sm.frame.points, covs,
+                sm.frame.mask, self.voxelmaps[tgt], p.registration_iterations)
+            ov = float(vmx.voxelmap_overlap(self.voxelmaps[tgt], sm.frame.points,
+                                            sm.frame.mask, T_rel))
+            if ov < p.min_inliear_fraction:
+                logger.debug("loop %d->%d rejected (inliers %.2f)", tgt, src, ov)
+                continue
+            Z = np.asarray(T_rel, np.float64)
+            self._add_factor(tgt, src, Z, 1.0 / p.loop_factor_stddev,
+                             p.loop_factor_robust_width)
+            self.num_loops += 1
+            logger.info("loop factor %d->%d accepted (inliers %.2f)", tgt, src, ov)
+
+    def _add_factor(self, i: int, j: int, Z: np.ndarray, info: float, huber: float):
+        self.f_i.append(i)
+        self.f_j.append(j)
+        self.f_Z.append(np.asarray(Z, np.float64))
+        self.f_info.append(np.full(6, info))
+        self.f_huber.append(huber)
+
+    # -- optimization --
+
+    def optimize(self) -> None:
+        p = self.params
+        N = len(self.poses)
+        B = len(self.f_i)
+        if N < 2 or B == 0:
+            return
+        n_cap = _pad_pow2(N)
+        f_cap = _pad_pow2(B)
+
+        poses = np.tile(np.eye(4), (n_cap, 1, 1))
+        poses[:N] = np.stack(self.poses)
+        fi = np.zeros(f_cap, np.int32)
+        fj = np.zeros(f_cap, np.int32)
+        fZ = np.tile(np.eye(4), (f_cap, 1, 1))
+        finfo = np.ones((f_cap, 6))
+        fhub = np.full(f_cap, -1.0)
+        fval = np.zeros(f_cap, bool)
+        fi[:B] = self.f_i
+        fj[:B] = self.f_j
+        fZ[:B] = np.stack(self.f_Z)
+        finfo[:B] = np.stack(self.f_info)
+        fhub[:B] = self.f_huber
+        fval[:B] = True
+
+        prior_T = jnp.asarray(self.poses[0], jnp.float32)
+        prior_info = jnp.full(6, np.sqrt(p.init_pose_damping_scale), jnp.float32)
+
+        args = (jnp.asarray(fi), jnp.asarray(fj), jnp.asarray(fZ, jnp.float32),
+                jnp.asarray(finfo, jnp.float32), jnp.asarray(fhub, jnp.float32),
+                jnp.asarray(fval), prior_T, prior_info)
+
+        def linearize(x):
+            return _linearize_graph(x, *args, n_pose_cap=n_cap, n_factor_cap=f_cap)
+
+        def retract(x, delta):
+            return x @ lie.se3_exp(delta.reshape(n_cap, 6))
+
+        CB.on_smoother_update(self, None, None)
+        res = solver.lm_optimize(linearize, retract, jnp.asarray(poses, jnp.float32),
+                                 solver.TerminationCriteria(max_iterations=5))
+        CB.on_smoother_update_result(self, res)
+
+        new_poses = np.asarray(res.x, np.float64)
+        for k in range(N):
+            self.poses[k] = _orthonormalize(new_poses[k])
+            self.submaps[k].T_world_origin = self.poses[k].copy()
+        CB.on_update_submaps(self.submaps)
+
+    # -- output --
+
+    def export_points(self) -> np.ndarray:
+        out = []
+        for sm, T in zip(self.submaps, self.poses):
+            pts = np.asarray(sm.frame.points)[np.asarray(sm.frame.mask)]
+            out.append((T[:3, :3] @ pts.T).T + T[:3, 3])
+        return np.concatenate(out, axis=0) if out else np.zeros((0, 3))
+
+    def save(self, path: str) -> None:
+        from glim_tpu.io.dump import save_dump
+        save_dump(path, self.submaps, self.poses, odom_poses=self.odom_poses,
+                  factors=dict(i=self.f_i, j=self.f_j, Z=self.f_Z,
+                               info=self.f_info, huber=self.f_huber))
+
+
+def _orthonormalize(T: np.ndarray) -> np.ndarray:
+    U, _, Vt = np.linalg.svd(T[:3, :3])
+    out = np.eye(4)
+    out[:3, :3] = U @ np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))]) @ Vt
+    out[:3, 3] = T[:3, 3]
+    return out
+
+
+@register_module("global_mapping", "global_mapping_pose_graph")
+def create_global_mapping_pose_graph_module(config=None):
+    params = (GlobalMappingPoseGraphParams.from_config(config)
+              if config is not None else GlobalMappingPoseGraphParams())
+    return GlobalMappingPoseGraph(params)

@@ -1,0 +1,155 @@
+"""Lightweight non-optimizing sub-mapping.
+
+Equivalent capability to the reference's ``SubMappingPassthrough``
+(reference: src/glim/mapping/sub_mapping_passthrough.cpp:16-156, params from
+config/config_sub_mapping_passthrough.json): displacement-gated keyframes
+accumulated into one incremental point voxel map; a submap is emitted when
+the keyframe count or voxel occupancy budget is hit; submap points come from
+the voxel container randomly downsampled to the target.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glim_tpu.mapping.callbacks import SubMappingCallbacks as CB
+from glim_tpu.mapping.sub_mapping_base import SubMappingBase
+from glim_tpu.ops import lie_np, pointops
+from glim_tpu.ops import voxelmap as vmx
+from glim_tpu.types import EstimationFrame, PointBatch, SubMap
+from glim_tpu.utils.logging import create_module_logger
+from glim_tpu.utils.registry import register_module
+
+logger = create_module_logger("sub")
+
+
+@dataclass
+class SubMappingPassthroughParams:
+    keyframe_update_interval_rot: float = 0.01
+    keyframe_update_interval_trans: float = 0.1
+    max_num_keyframes: int = 50
+    max_num_voxels: int = -1
+    adaptive_max_num_voxels: float = 2.5
+    submap_voxel_resolution: float = 0.5
+    min_dist_in_voxel: float = 0.2
+    max_num_points_in_voxel: int = 100
+    submap_target_num_points: int = 50000
+    point_capacity: int = 131072
+
+    @staticmethod
+    def from_config(config) -> "SubMappingPassthroughParams":
+        p = SubMappingPassthroughParams()
+        g = lambda k, d: config.param("sub_mapping", k, d)
+        p.keyframe_update_interval_rot = g("keyframe_update_interval_rot", 0.01)
+        p.keyframe_update_interval_trans = g("keyframe_update_interval_trans", 0.1)
+        p.max_num_keyframes = int(g("max_num_keyframes", 50))
+        p.max_num_voxels = int(g("max_num_voxels", -1))
+        p.adaptive_max_num_voxels = g("adaptive_max_num_voxels", 2.5)
+        p.submap_voxel_resolution = g("submap_voxel_resolution", 0.5)
+        p.min_dist_in_voxel = g("min_dist_in_voxel", 0.2)
+        p.max_num_points_in_voxel = int(g("max_num_points_in_voxel", 100))
+        p.submap_target_num_points = int(g("submap_target_num_points", 50000))
+        return p
+
+
+class SubMappingPassthrough(SubMappingBase):
+    def __init__(self, params: Optional[SubMappingPassthroughParams] = None):
+        self.params = params or SubMappingPassthroughParams()
+        self.submap_count = 0
+        self.keyframes: List[EstimationFrame] = []
+        self.odom_frames: List[EstimationFrame] = []
+        self.submap_queue: List[SubMap] = []
+        self._map: Optional[vmx.PointVoxelMap] = None
+        self._rng = jax.random.PRNGKey(11)
+
+    def insert_frame(self, frame: EstimationFrame) -> None:
+        CB.on_insert_frame(frame)
+        p = self.params
+        self.odom_frames.append(frame.clone_wo_points())
+
+        if self.keyframes:
+            T_last = self.keyframes[-1].T_world_sensor()
+            delta = lie_np.se3_log(np.linalg.inv(T_last) @ frame.T_world_sensor())
+            if (np.linalg.norm(delta[3:]) < p.keyframe_update_interval_trans
+                    and np.linalg.norm(delta[:3]) < p.keyframe_update_interval_rot):
+                return
+
+        self._insert_keyframe(frame)
+        CB.on_new_keyframe(len(self.keyframes) - 1, frame)
+
+        full = len(self.keyframes) >= p.max_num_keyframes
+        if self._map is not None and p.max_num_voxels > 0:
+            full = full or int(self._map.num_points()) >= p.max_num_voxels
+        if full:
+            self._create_submap()
+
+    def get_submaps(self) -> List[SubMap]:
+        out = self.submap_queue
+        self.submap_queue = []
+        return out
+
+    def submit_end_of_sequence(self) -> List[SubMap]:
+        if self.keyframes:
+            self._create_submap()
+        out = self.submap_queue
+        self.submap_queue = []
+        return out
+
+    # -- internals --
+
+    def _insert_keyframe(self, frame: EstimationFrame) -> None:
+        p = self.params
+        if self._map is None:
+            self._map = vmx.empty_point_voxelmap(p.point_capacity, p.min_dist_in_voxel)
+        batch = frame.frame
+        if batch is not None and batch.points is not None:
+            T = jnp.asarray(frame.T_world_sensor(), jnp.float32)
+            w_pts = batch.points @ T[:3, :3].T + T[:3, 3]
+            covs = batch.covs if batch.covs is not None else \
+                jnp.zeros(batch.points.shape[:1] + (3, 3), jnp.float32)
+            self._map = vmx.pointmap_insert(self._map, w_pts, batch.mask, covs,
+                                            jnp.int32(len(self.keyframes)))
+        self.keyframes.append(frame.clone_wo_points())
+
+    def _create_submap(self) -> None:
+        p = self.params
+        K = len(self.keyframes)
+        center = K // 2
+        T_world_origin = self.keyframes[center].T_world_sensor()
+        T_origin_world = np.linalg.inv(T_world_origin)
+
+        # Submap cloud: map points (world) -> origin frame, random-trim.
+        self._rng, sub = jax.random.split(self._rng)
+        pts, mask, _ = pointops.random_sampling(self._map.points, self._map.mask,
+                                                p.submap_target_num_points, sub)
+        To = jnp.asarray(T_origin_world, jnp.float32)
+        pts_o = pts @ To[:3, :3].T + To[:3, 3]
+
+        submap = SubMap(
+            id=self.submap_count,
+            T_world_origin=T_world_origin,
+            T_origin_endpoint_L=T_origin_world @ self.keyframes[0].T_world_sensor(),
+            T_origin_endpoint_R=T_origin_world @ self.keyframes[-1].T_world_sensor(),
+            frame=PointBatch(points=pts_o, mask=mask),
+            frames=self.keyframes,
+            odom_frames=self.odom_frames,
+        )
+        self.submap_count += 1
+        self.keyframes = []
+        self.odom_frames = []
+        self._map = None
+        self.submap_queue.append(submap)
+        CB.on_new_submap(submap)
+        logger.info("passthrough submap %d created (%d keyframes)", submap.id, K)
+
+
+@register_module("sub_mapping", "sub_mapping_passthrough")
+def create_sub_mapping_passthrough_module(config=None):
+    params = (SubMappingPassthroughParams.from_config(config)
+              if config is not None else SubMappingPassthroughParams())
+    return SubMappingPassthrough(params)

@@ -136,16 +136,24 @@ def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
     deskewed, covs, normals, T_pred = _common_prefix(
         state, pts, times, mask, neighbors, dt, enable_deskew)
 
-    def linearize(T):
-        s = gicp.vgicp_linearize(jnp.eye(4), T, deskewed, covs, mask, state.model)
-        return s.H_ss, s.b_s, s.error
+    # Correspondence-cached GN: the voxel lookup (binary search + stats
+    # gather) dominates linearization cost, and mm-scale inner updates rarely
+    # cross voxel boundaries — so re-search every INNER_ITERS iterations only.
+    INNER = 2
+    n_outer = max(1, iters // INNER)
 
-    def gn(T, _):
-        H, b, err = linearize(T)
-        delta = solver.solve_damped(H, b, jnp.float32(1e-6))
-        return T @ lie.se3_exp(delta), err
+    def outer(T, _):
+        mu, C_t, hit = gicp.vgicp_lookup(jnp.eye(4), T, deskewed, mask, state.model)
 
-    T_new, errs = jax.lax.scan(gn, T_pred, None, length=iters)
+        def inner(T, _):
+            s = gicp.vgicp_linearize_cached(jnp.eye(4), T, deskewed, covs, mu, C_t, hit)
+            delta = solver.solve_damped(s.H_ss, s.b_s, jnp.float32(1e-6))
+            return T @ lie.se3_exp(delta), s.error
+
+        T, errs = jax.lax.scan(inner, T, None, length=INNER)
+        return T, errs[-1]
+
+    T_new, errs = jax.lax.scan(outer, T_pred, None, length=n_outer)
     new_state = _finish_step(state, T_new, dt, deskewed, covs, mask, rng,
                              ema=ema, bootstrap_frames=bootstrap_frames,
                              update_budget=update_budget,

@@ -138,6 +138,36 @@ def vgicp_linearize(T_target: jnp.ndarray, T_source: jnp.ndarray,
 
 
 @jax.jit
+def vgicp_lookup(T_target: jnp.ndarray, T_source: jnp.ndarray,
+                 src_pts: jnp.ndarray, src_mask: jnp.ndarray,
+                 vm: GaussianVoxelMap):
+    """Correspondence phase of VGICP: voxel lookup + stats gather.
+
+    Split out so GN solvers can cache correspondences across inner iterations
+    (pose updates of a few mm rarely cross voxel boundaries, so re-searching
+    every iteration — the expensive gather/binary-search part — is wasted)."""
+    T_rel = se3_inv(T_target) @ T_source
+    q = src_pts @ T_rel[:3, :3].T + T_rel[:3, 3]
+    vidx = voxelmap_lookup(vm, q)
+    hit = (vidx >= 0) & src_mask
+    safe = jnp.maximum(vidx, 0)
+    return vm.mean[safe], vm.cov[safe], hit
+
+
+@jax.jit
+def vgicp_linearize_cached(T_target: jnp.ndarray, T_source: jnp.ndarray,
+                           src_pts: jnp.ndarray, src_covs: jnp.ndarray,
+                           mu: jnp.ndarray, C_t: jnp.ndarray,
+                           hit: jnp.ndarray) -> FactorSystem:
+    """Linearize with pre-fetched correspondences (see vgicp_lookup)."""
+    T_rel = se3_inv(T_target) @ T_source
+    R_rel, t_rel = T_rel[:3, :3], T_rel[:3, 3]
+    C_s_rot = jnp.einsum("ij,cjk,lk->cil", R_rel, src_covs, R_rel)
+    omega = inv_sym3x3(C_t + C_s_rot)
+    return _linearize_core(R_rel, t_rel, src_pts, mu, omega, hit.astype(src_pts.dtype))
+
+
+@jax.jit
 def gicp_error(T_target, T_source, src_pts, src_covs, src_mask,
                tgt_pts, tgt_covs, tgt_mask, max_dist) -> jnp.ndarray:
     return gicp_linearize(T_target, T_source, src_pts, src_covs, src_mask,

@@ -152,33 +152,30 @@ def voxelmap_insert(vm: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarray
     w_cov = jnp.concatenate([e_wc, p_wc])
     ages = jnp.concatenate([jnp.where(e_valid, vm.age, -1), p_age])
 
-    # Pre-eviction when merged voxel count could exceed V: drop the oldest
-    # entries *by age* before the reduce. We approximate "voxel age" by entry
-    # age; existing voxels carry their stored age, new points carry `step`.
-    # Rank entries by age descending; entries ranked past V + C keep
-    # (conservative) are invalidated. A tighter eviction runs after reduce.
     seg = _sorted_reduce(hashes, coords, weights, w_mean, w_cov, ages, V + C)
     s_hash, s_coords, s_w, s_wm, s_wc, s_age = seg
-
-    # Keep the V most recent voxels among the merged set.
     n_merged = jnp.sum(s_hash != INVALID_HASH)
-    score = jnp.where(s_hash != INVALID_HASH, s_age, jnp.iinfo(jnp.int32).min)
-    _, keep_idx = jax.lax.top_k(score, V)
-    k_hash = s_hash[keep_idx]
-    k_coords = s_coords[keep_idx]
-    k_w = s_w[keep_idx]
-    k_wm = s_wm[keep_idx]
-    k_wc = s_wc[keep_idx]
-    k_age = s_age[keep_idx]
-    del n_merged
 
-    order = jnp.lexsort((k_coords[:, 2], k_coords[:, 1], k_coords[:, 0], k_hash))
-    k_hash = k_hash[order]
-    k_coords = k_coords[order]
-    k_w = k_w[order]
-    k_wm = k_wm[order]
-    k_wc = k_wc[order]
-    k_age = k_age[order]
+    def no_evict(_):
+        # Common case: merged voxels fit in capacity. The reduced arrays are
+        # already hash-sorted with all valid segments in the prefix — just
+        # truncate. No top_k, no second sort.
+        return (s_hash[:V], s_coords[:V], s_w[:V], s_wm[:V], s_wc[:V], s_age[:V])
+
+    def evict(_):
+        # Overflow: keep the V most recently updated voxels, then re-sort by
+        # hash so lookup's binary search stays valid.
+        score = jnp.where(s_hash != INVALID_HASH, s_age, jnp.iinfo(jnp.int32).min)
+        _, keep_idx = jax.lax.top_k(score, V)
+        k_hash = s_hash[keep_idx]
+        k_coords = s_coords[keep_idx]
+        order = jnp.lexsort((k_coords[:, 2], k_coords[:, 1], k_coords[:, 0], k_hash))
+        keep2 = keep_idx[order]
+        return (s_hash[keep2], s_coords[keep2], s_w[keep2], s_wm[keep2],
+                s_wc[keep2], s_age[keep2])
+
+    k_hash, k_coords, k_w, k_wm, k_wc, k_age = jax.lax.cond(
+        n_merged <= V, no_evict, evict, None)
 
     safe_w = jnp.maximum(k_w, 1.0)
     return GaussianVoxelMap(
