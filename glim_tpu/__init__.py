@@ -23,12 +23,17 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # static shapes, so cache hits are the common case.
 import os as _os
 
-_cache_dir = _os.environ.get("GLIM_TPU_COMPILE_CACHE",
-                             _os.path.expanduser("~/.cache/glim_tpu_xla"))
-if _cache_dir:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+_platform_tag = _os.environ.get("JAX_PLATFORMS", "default").split(",")[0] or "default"
+# CPU (test) runs skip the on-disk cache: in environments with a remote
+# compile service the cached CPU AOT results may target the service's
+# machine features, not the local host.
+if _platform_tag != "cpu":
+    _cache_dir = _os.environ.get("GLIM_TPU_COMPILE_CACHE",
+                                 _os.path.expanduser(f"~/.cache/glim_tpu_xla_{_platform_tag}"))
+    if _cache_dir:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from glim_tpu.utils.config import Config, GlobalConfig  # noqa: F401
 from glim_tpu.utils.callbacks import CallbackSlot  # noqa: F401

@@ -1,0 +1,98 @@
+"""Asynchronous global-mapping wrapper.
+
+Equivalent surface to the reference's ``AsyncGlobalMapping``
+(reference: src/glim/mapping/async_global_mapping.cpp:24-143): worker thread
+draining the submap queue, periodic ``optimize()`` when idle, servicing of the
+three request slots, and mutex-guarded save/export.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import List
+
+import numpy as np
+
+from glim_tpu.mapping.callbacks import GlobalMappingCallbacks as CB
+from glim_tpu.mapping.global_mapping_base import GlobalMappingBase
+from glim_tpu.types import SubMap
+from glim_tpu.utils.concurrent import ConcurrentVector
+
+
+class AsyncGlobalMapping:
+    def __init__(self, global_mapping: GlobalMappingBase,
+                 optimization_interval: float = 5.0):
+        self.global_mapping = global_mapping
+        self.optimization_interval = optimization_interval
+        self.input_imu_queue: ConcurrentVector = ConcurrentVector()
+        self.input_submap_queue: ConcurrentVector = ConcurrentVector()
+        self._end_of_sequence = threading.Event()
+        self._request_optimize = threading.Event()
+        self._request_recover = threading.Event()
+        self._request_overlap: List[float] = []
+        self._mutex = threading.RLock()
+        self._last_optimization = time.time()
+
+        CB.request_to_optimize.add(lambda: self._request_optimize.set())
+        CB.request_to_recover.add(lambda: self._request_recover.set())
+        CB.request_to_find_overlapping_submaps.add(self._request_overlap.append)
+
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def insert_imu(self, stamp: float, linear_acc: np.ndarray, angular_vel: np.ndarray) -> None:
+        self.input_imu_queue.push_back((stamp, np.asarray(linear_acc), np.asarray(angular_vel)))
+
+    def insert_submap(self, submap: SubMap) -> None:
+        self.input_submap_queue.push_back(submap)
+
+    def insert_image(self, stamp: float, image) -> None:
+        pass
+
+    def join(self) -> None:
+        self._end_of_sequence.set()
+        self.input_submap_queue.submit_end_of_data()
+        self.thread.join()
+
+    def workload(self) -> int:
+        return self.input_submap_queue.size()
+
+    def save(self, path: str) -> None:
+        with self._mutex:
+            self.global_mapping.save(path)
+
+    def export_points(self) -> np.ndarray:
+        with self._mutex:
+            return self.global_mapping.export_points()
+
+    def _run(self) -> None:
+        while True:
+            eos = self._end_of_sequence.is_set()
+            for stamp, acc, gyro in self.input_imu_queue.get_all_and_clear():
+                self.global_mapping.insert_imu(stamp, acc, gyro)
+            submaps = self.input_submap_queue.get_all_and_clear_wait(timeout=0.05)
+            with self._mutex:
+                for sm in submaps:
+                    self.global_mapping.insert_submap(sm)
+                    self._last_optimization = time.time()
+
+                if self._request_optimize.is_set():
+                    self._request_optimize.clear()
+                    self.global_mapping.optimize()
+                    self._last_optimization = time.time()
+                if self._request_recover.is_set():
+                    self._request_recover.clear()
+                    self.global_mapping.recover_graph()
+                while self._request_overlap:
+                    self.global_mapping.find_overlapping_submaps(self._request_overlap.pop(0))
+
+                # Periodic idle optimization (reference: :96-118).
+                if time.time() - self._last_optimization > self.optimization_interval:
+                    self.global_mapping.optimize()
+                    self._last_optimization = time.time()
+
+            if eos and self.input_submap_queue.empty() and not submaps:
+                with self._mutex:
+                    self.global_mapping.optimize()
+                break

@@ -101,8 +101,9 @@ def _linearize_graph(poses, T_i_idx, T_j_idx, Z, sqrt_info, huber, f_valid,
     b = jnp.zeros(D)
     H, b = fct.scatter_between(H, b, batch, T_i_idx, T_j_idx)
 
-    # Gauge prior on pose 0.
-    pH, pb, perr = fct.prior_linearize(prior_T[None], prior_T[None], prior_info[None])
+    # Gauge prior on pose 0 (evaluated at the CURRENT pose, anchored to
+    # prior_T).
+    pH, pb, perr = fct.prior_linearize(poses[0][None], prior_T[None], prior_info[None])
     H = H.at[:6, :6].add(pH[0])
     b = b.at[:6].add(pb[0])
     # Tiny damping on every pose block keeps padded/disconnected poses fixed.
@@ -144,8 +145,8 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         self.f_huber: List[float] = []
         self.candidates: List[Tuple[int, int]] = []
         self.num_loops = 0
-
-        CB.request_to_optimize.add(lambda: self.optimize())
+        # request_to_optimize servicing belongs to AsyncGlobalMapping (it owns
+        # the worker thread); synchronous users call optimize() directly.
 
     # -- insertion --
 

@@ -77,7 +77,7 @@ def between_linearize(T_i: jnp.ndarray, T_j: jnp.ndarray, Z: jnp.ndarray,
         err = jnp.sum(W[:, 0] * r * r)
         return H_ii, H_ij, H_jj, b_i, b_j, err, w
 
-    out = jax.vmap(one)(T_i, T_j, Z, sqrt_info, huber_k)
+    out = jax.vmap(one)(T_i, T_j, Z_inv, sqrt_info, huber_k)
     return BetweenBatch(*out)
 
 

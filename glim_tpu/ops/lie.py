@@ -59,27 +59,51 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """(..., 3, 3) -> (..., 3). Accurate for theta in [0, pi); near-pi handled
-    via the quaternion route."""
-    tr = jnp.clip((R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(tr)
+    via the quaternion route.
+
+    Differentiation-safe: every branch's inputs are sanitized before the
+    non-smooth primitives (arccos at +-1, norm at 0), so fwd- AND rev-mode
+    derivatives stay finite at the identity and near pi — factor
+    linearization runs jacfwd through this function (ops/factors.py).
+    """
+    cos_t = jnp.clip((R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) * 0.5,
+                     -1.0, 1.0)
     vee = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
         R[..., 0, 2] - R[..., 2, 0],
         R[..., 1, 0] - R[..., 0, 1],
     ], axis=-1)
-    sin_t = jnp.sin(theta)
-    generic = (theta / jnp.where(jnp.abs(sin_t) < _EPS, 1.0, 2.0 * sin_t))[..., None] * vee
-    small = theta[..., None] < 1e-5
-    taylor = 0.5 * vee * (1.0 + theta[..., None] ** 2 / 6.0)
-    near_pi = theta[..., None] > (jnp.pi - 1e-3)
+
+    # Thresholds must be representable in f32: 1 - 1e-8 rounds to 1.0 and the
+    # branch would never trigger (leaving arccos'(1) = -inf in the selected
+    # path).
+    small = cos_t > 1.0 - 1e-6        # theta < ~1.4e-3
+    near_pi = cos_t < -1.0 + 1e-5     # theta > ~pi - 4.5e-3
+    generic_m = ~small & ~near_pi
+
+    # Generic branch with sanitized input (dummy cos=0 where unselected).
+    cos_g = jnp.where(generic_m, cos_t, 0.0)
+    theta_g = jnp.arccos(cos_g)
+    sin_g = jnp.sqrt(jnp.maximum(1.0 - cos_g * cos_g, 1e-12))
+    generic = (theta_g / (2.0 * sin_g))[..., None] * vee
+
+    # Small-angle Taylor, arccos-free: theta^2 ~ 2(1 - cos_t).
+    one_m = jnp.maximum(1.0 - cos_t, 0.0)
+    taylor = 0.5 * vee * (1.0 + one_m / 3.0)[..., None]
+
+    # Near-pi via the quaternion route with sanitized vector part.
     q = rot_to_quat(R)
     sign = jnp.where(q[..., 3:4] < 0, -1.0, 1.0)
     qv = q[..., :3] * sign
     qw = q[..., 3:4] * sign
-    vn = jnp.linalg.norm(qv, axis=-1, keepdims=True)
+    qv_safe = jnp.where(near_pi[..., None], qv,
+                        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], R.dtype), qv.shape))
+    vn = jnp.linalg.norm(qv_safe, axis=-1, keepdims=True)
     ang = 2.0 * jnp.arctan2(vn, qw)
-    pi_branch = ang * qv / jnp.where(vn < _EPS, 1.0, vn)
-    return jnp.where(near_pi, pi_branch, jnp.where(small, taylor, generic))
+    pi_branch = ang * qv_safe / jnp.maximum(vn, 1e-12)
+
+    return jnp.where(near_pi[..., None], pi_branch,
+                     jnp.where(small[..., None], taylor, generic))
 
 
 def so3_left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
