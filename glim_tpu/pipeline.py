@@ -1,0 +1,167 @@
+"""GlimTPU: the top-level config-driven pipeline.
+
+Plays the role of the reference's glim_ros node minus ROS (reference
+semantics: SURVEY.md §3.1 system init): reads config.json, instantiates the
+configured preprocessing / odometry / sub-mapping / global-mapping modules
+through the registry, wires them with async worker threads, loads extension
+modules, and exposes insert_imu/insert_frame + save/export APIs. A
+synchronous mode (``async_mode=False``) runs everything inline for
+deterministic tests and offline batch processing.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from glim_tpu.mapping.async_global_mapping import AsyncGlobalMapping
+from glim_tpu.mapping.async_sub_mapping import AsyncSubMapping
+from glim_tpu.mapping.global_mapping_base import GlobalMappingBase
+from glim_tpu.mapping.sub_mapping_base import SubMappingBase
+from glim_tpu.odometry.async_odometry_estimation import AsyncOdometryEstimation
+from glim_tpu.odometry.estimation_base import OdometryEstimationBase
+from glim_tpu.preprocess.cloud_preprocessor import (CloudPreprocessor,
+                                                    CloudPreprocessorParams)
+from glim_tpu.types import EstimationFrame, RawPoints
+from glim_tpu.utils.config import GlobalConfig, create_default_config_dir
+from glim_tpu.utils.extension_module import ExtensionModule
+from glim_tpu.utils.logging import configure_logging, create_module_logger
+from glim_tpu.utils.time_keeper import PerPointTimeSettings, TimeKeeper
+from glim_tpu.utils.trajectory_manager import TrajectoryManager
+
+logger = create_module_logger("glim")
+
+
+class GlimTPU:
+    """End-to-end SLAM pipeline: scans+IMU in, globally consistent map out."""
+
+    def __init__(self, config_path: Optional[str] = None,
+                 async_mode: bool = True,
+                 extension_modules: Optional[List[str]] = None):
+        if config_path is None:
+            config_path = create_default_config_dir("/tmp/glim_tpu_config")
+        GlobalConfig.reset()
+        self.config = GlobalConfig.instance(config_path)
+
+        log_cfg = self.config.get_config("config_logging")
+        configure_logging(log_dir=log_cfg.param("logging", "log_dir", None),
+                          save_logs=log_cfg.param("logging", "save_logs", False))
+
+        sensors = self.config.get_config("config_sensors")
+        self.T_lidar_imu = sensors.param_se3("sensors", "T_lidar_imu")
+        self.time_keeper = TimeKeeper(PerPointTimeSettings.from_config(sensors))
+        self.trajectory = TrajectoryManager()
+
+        pre_cfg = self.config.get_config("config_preprocess")
+        self.preprocessor = CloudPreprocessor(
+            CloudPreprocessorParams.from_config(pre_cfg, sensors))
+
+        odo_cfg = self.config.get_config("config_odometry")
+        odometry = OdometryEstimationBase.load_module(
+            odo_cfg.param("odometry_estimation", "so_name",
+                          "libodometry_estimation_cpu.so"), odo_cfg)
+
+        sub_cfg = self.config.get_config("config_sub_mapping")
+        sub = SubMappingBase.load_module(
+            sub_cfg.param("sub_mapping", "so_name", "libsub_mapping.so"), sub_cfg)
+
+        glb_cfg = self.config.get_config("config_global_mapping")
+        glb = GlobalMappingBase.load_module(
+            glb_cfg.param("global_mapping", "so_name",
+                          "libglobal_mapping_pose_graph.so"), glb_cfg)
+
+        self.async_mode = async_mode
+        if async_mode:
+            self.odometry = AsyncOdometryEstimation(odometry)
+            self.sub_mapping = AsyncSubMapping(sub)
+            self.global_mapping = AsyncGlobalMapping(glb)
+        else:
+            self.odometry = odometry
+            self.sub_mapping = sub
+            self.global_mapping = glb
+
+        self._sync_estimates: List[EstimationFrame] = []
+        self.extensions = ExtensionModule.load_extensions(extension_modules or [])
+
+    # -- input --
+
+    def insert_imu(self, stamp: float, linear_acc, angular_vel) -> None:
+        if not self.time_keeper.validate_imu_stamp(stamp):
+            return
+        self.odometry.insert_imu(stamp, np.asarray(linear_acc), np.asarray(angular_vel))
+        self.sub_mapping.insert_imu(stamp, np.asarray(linear_acc), np.asarray(angular_vel))
+        self.global_mapping.insert_imu(stamp, np.asarray(linear_acc), np.asarray(angular_vel))
+
+    def insert_frame(self, raw: RawPoints) -> None:
+        if not self.time_keeper.process(raw):
+            logger.warning("dropping scan at %.6f", raw.stamp)
+            return
+        frame = self.preprocessor.preprocess(raw)
+        if self.async_mode:
+            self.odometry.insert_frame(frame)
+            self._pump()
+        else:
+            marginalized: List[EstimationFrame] = []
+            est = self.odometry.insert_frame(frame, marginalized)
+            if est is not None:
+                self._sync_estimates.append(est)
+                self.trajectory.add_odom(est.stamp, est.T_world_sensor())
+            for m in marginalized:
+                self.sub_mapping.insert_frame(m)
+            for sm in self.sub_mapping.get_submaps():
+                self.global_mapping.insert_submap(sm)
+
+    def _pump(self) -> None:
+        est, margs = self.odometry.get_results()
+        for e in est:
+            self._sync_estimates.append(e)
+        for m in margs:
+            self.sub_mapping.insert_frame(m)
+        for sm in self.sub_mapping.get_results():
+            self.global_mapping.insert_submap(sm)
+
+    # -- control --
+
+    def workload(self) -> int:
+        if not self.async_mode:
+            return 0
+        return max(self.odometry.workload(), self.sub_mapping.workload(),
+                   self.global_mapping.workload())
+
+    def ok(self) -> bool:
+        return all(ext.ok() for ext in self.extensions)
+
+    def wait(self) -> None:
+        """Flush the pipeline (end of sequence)."""
+        if self.async_mode:
+            self.odometry.join()
+            est, margs = self.odometry.get_results()
+            self._sync_estimates.extend(est)
+            for m in margs:
+                self.sub_mapping.insert_frame(m)
+            self.sub_mapping.join()
+            for sm in self.sub_mapping.get_results():
+                self.global_mapping.insert_submap(sm)
+            self.global_mapping.join()
+        else:
+            for m in self.odometry.get_remaining_frames():
+                self.sub_mapping.insert_frame(m)
+            for sm in self.sub_mapping.submit_end_of_sequence():
+                self.global_mapping.insert_submap(sm)
+            self.global_mapping.optimize()
+
+    # -- output --
+
+    @property
+    def odometry_estimates(self) -> List[EstimationFrame]:
+        return self._sync_estimates
+
+    def save(self, path: str) -> None:
+        self.global_mapping.save(path)
+        for ext in self.extensions:
+            ext.at_exit(path)
+
+    def export_points(self) -> np.ndarray:
+        return self.global_mapping.export_points()
