@@ -272,7 +272,7 @@ class OdometryEstimationCPU(OdometryEstimationBase):
 
 
 @register_module("odometry", "odometry_estimation_cpu")
-def create_odometry_estimation_module(config=None):
+def create_odometry_estimation_module(config=None, sensors_config=None):
     params = (OdometryEstimationCPUParams.from_config(config)
               if config is not None else OdometryEstimationCPUParams())
     return OdometryEstimationCPU(params)

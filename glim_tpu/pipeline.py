@@ -61,7 +61,8 @@ class GlimTPU:
         odo_cfg = self.config.get_config("config_odometry")
         odometry = OdometryEstimationBase.load_module(
             odo_cfg.param("odometry_estimation", "so_name",
-                          "libodometry_estimation_cpu.so"), odo_cfg)
+                          "libodometry_estimation_cpu.so"), odo_cfg,
+            sensors_config=sensors)
 
         sub_cfg = self.config.get_config("config_sub_mapping")
         sub = SubMappingBase.load_module(
