@@ -171,12 +171,14 @@ def save_dump(path: str, submaps: List[SubMap], poses: List[np.ndarray],
                 f.write(f"between {i} {j}\n")
 
     if factors:
+        matching = np.asarray(factors.get("matching", []), np.int32).reshape(-1, 2)
         np.savez(os.path.join(path, "graph.npz"),
                  i=np.asarray(factors["i"], np.int32),
                  j=np.asarray(factors["j"], np.int32),
                  Z=np.stack(factors["Z"]) if factors["Z"] else np.zeros((0, 4, 4)),
                  info=np.stack(factors["info"]) if factors["info"] else np.zeros((0, 6)),
                  huber=np.asarray(factors["huber"]),
+                 matching=matching,
                  poses=np.stack(poses) if poses else np.zeros((0, 4, 4)))
 
     with open(os.path.join(path, "odom_lidar.txt"), "w") as f_ol, \
@@ -220,7 +222,8 @@ def load_dump(path: str):
     if os.path.exists(gp):
         z = np.load(gp)
         factors = dict(i=list(z["i"]), j=list(z["j"]), Z=list(z["Z"]),
-                       info=list(z["info"]), huber=list(z["huber"]))
+                       info=list(z["info"]), huber=list(z["huber"]),
+                       matching=[tuple(m) for m in z["matching"]] if "matching" in z else [])
         if len(z["poses"]):
             poses = list(z["poses"])
     return submaps, poses, factors

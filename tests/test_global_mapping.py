@@ -1,0 +1,110 @@
+"""Matching-cost GlobalMapping tests: implicit loops, drift correction,
+save/load, multi-session merge, graph recovery."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glim_tpu.mapping.global_mapping import GlobalMapping, GlobalMappingParams
+from glim_tpu.ops import lie_np
+from glim_tpu.types import PointBatch, SubMap
+
+
+def structured_world(rng, n=1200):
+    """Walls + floor (registration-friendly structure)."""
+    pts = np.zeros((n, 3))
+    k = n // 3
+    pts[:k, 0] = rng.uniform(-15, 15, k)
+    pts[:k, 1] = rng.uniform(-15, 15, k)
+    pts[k:2 * k, 0] = rng.uniform(-15, 15, k)
+    pts[k:2 * k, 2] = rng.uniform(0, 5, k)
+    pts[k:2 * k, 1] = 15.0
+    pts[2 * k:, 1] = rng.uniform(-15, 15, n - 2 * k)
+    pts[2 * k:, 2] = rng.uniform(0, 5, n - 2 * k)
+    pts[2 * k:, 0] = 15.0
+    return pts
+
+
+def submap_observing(rng, sid, world_pts, T_world_true, cap=2048):
+    Ti = np.linalg.inv(T_world_true)
+    local = (Ti[:3, :3] @ world_pts.T).T + Ti[:3, 3]
+    n = len(local)
+    pts = np.zeros((cap, 3), np.float32)
+    pts[:n] = local + rng.normal(size=local.shape) * 0.005
+    mask = np.zeros(cap, bool)
+    mask[:n] = True
+    covs = np.broadcast_to(np.eye(3, dtype=np.float32) * 0.02, (cap, 3, 3)).copy()
+    return SubMap(id=sid, T_world_origin=np.eye(4),
+                  frame=PointBatch(points=jnp.asarray(pts), mask=jnp.asarray(mask),
+                                   covs=jnp.asarray(covs)))
+
+
+class TestGlobalMapping:
+    def build(self, rng, drift_xi=None, n_submaps=4, step=2.0, **param_kw):
+        world = structured_world(rng)
+        true_poses = []
+        for k in range(n_submaps):
+            T = np.eye(4)
+            T[0, 3] = step * k
+            true_poses.append(T)
+        drift = lie_np.se3_exp(np.zeros(6) if drift_xi is None else drift_xi)
+        odom = [true_poses[0]]
+        for k in range(1, n_submaps):
+            dT = np.linalg.inv(true_poses[k - 1]) @ true_poses[k]
+            odom.append(odom[-1] @ dT @ drift)
+
+        gm = GlobalMapping(GlobalMappingParams(
+            submap_voxel_resolution=0.5, voxel_capacity=16384,
+            min_implicit_loop_overlap=0.2, **param_kw))
+        for k in range(n_submaps):
+            sm = submap_observing(rng, k, world, true_poses[k])
+            sm.T_world_origin = odom[k]
+            gm.insert_submap(sm)
+        return gm, true_poses, odom
+
+    def test_implicit_loop_factors_created(self, rng):
+        gm, *_ = self.build(rng, n_submaps=3)
+        # All submaps overlap heavily (same world): factors to every prior.
+        assert len(gm.matching_factors) >= 3
+
+    def test_drift_corrected(self, rng):
+        drift = np.array([0, 0, 0.005, 0.08, 0.05, 0.0])
+        gm, true_poses, odom = self.build(rng, drift_xi=drift, n_submaps=4)
+        err_odom = np.linalg.norm(odom[-1][:3, 3] - true_poses[-1][:3, 3])
+        err_opt = np.linalg.norm(gm.poses[-1][:3, 3] - true_poses[-1][:3, 3])
+        assert err_opt < err_odom * 0.5, (err_odom, err_opt)
+
+    def test_save_load_merge(self, rng, tmp_path):
+        gm, *_ = self.build(rng, n_submaps=3, create_between_factors=True)
+        d = str(tmp_path / "dump")
+        gm.save(d)
+        assert os.path.exists(os.path.join(d, "graph.npz"))
+
+        gm2 = GlobalMapping(GlobalMappingParams(enable_optimization=False,
+                                                voxel_capacity=16384))
+        gm2.load(d)
+        assert len(gm2.submaps) == 3
+        assert len(gm2.matching_factors) == len(gm.matching_factors)
+        # Multi-session merge: load the same dump again with an offset.
+        gm2.load(d, session_offset=1)
+        assert len(gm2.submaps) == 6
+        assert gm2.submaps[3].session_id == 1
+        # Factor indices were rekeyed past the first session.
+        assert max(f[1] for f in gm2.between_factors) >= 4
+
+    def test_recover_graph(self, rng):
+        gm, *_ = self.build(rng, n_submaps=3, enable_optimization=False)
+        # Orphan submap 2 by dropping its factors.
+        gm.matching_factors = [f for f in gm.matching_factors if 2 not in f]
+        gm.between_factors = [f for f in gm.between_factors if f[1] != 2]
+        gm.recover_graph()
+        assert any(f[1] == 2 for f in gm.between_factors)
+
+    def test_find_overlapping_submaps(self, rng):
+        gm, *_ = self.build(rng, n_submaps=3, enable_optimization=False)
+        before = len(gm.matching_factors)
+        gm.matching_factors = []
+        gm.find_overlapping_submaps(0.2)
+        assert len(gm.matching_factors) >= before
