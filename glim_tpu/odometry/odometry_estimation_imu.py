@@ -140,6 +140,11 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         self.frame_count = 0
         self.last_frame_stamp: Optional[float] = None
         self._rng = jax.random.PRNGKey(3)
+        if p.validate_imu:
+            from glim_tpu.common.imu_validation import IMUValidation
+            self.imu_validation = IMUValidation()
+        else:
+            self.imu_validation = None
 
     def requires_imu(self) -> bool:
         return True
@@ -193,6 +198,12 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         CB.on_smoother_update(self)
 
         k_new = self._num_states() - 1
+        if self.imu_validation is not None:
+            dt_f = frame.stamp - float(self.window.stamp[k_new - 1]) if k_new > 0 else 0.0
+            self.imu_validation.validate(
+                np.asarray(T_pred, np.float64), np.asarray(v_j, np.float64),
+                np.asarray(self.window.T[k_new], np.float64),
+                np.asarray(self.window.v[k_new], np.float64), dt_f)
         est = self._make_estimation_frame(frame, k_new, deskewed, covs, normals)
         self._est_frames.append(est)
         CB.on_new_frame(est)

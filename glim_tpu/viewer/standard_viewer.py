@@ -1,0 +1,141 @@
+"""Headless standard viewer: real-time state aggregation + export.
+
+Plays the role of the reference's ``StandardViewer``
+(reference: src/glim/viewer/standard_viewer.cpp:42-198 + callbacks wiring in
+standard_viewer_callbacks.cpp, memory accounting in
+standard_viewer_mem.cpp:15-59) for GUI-less TPU hosts: it attaches to the
+same callback slots, maintains the odometry trajectory, keyframe/submap
+poses, per-object memory accounting and the shared log ring buffer, and
+exposes them as a status dict / periodic log line / file exports instead of
+an OpenGL window. Downstream visualization (rviz, rerun, notebooks) can poll
+``snapshot()``.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from glim_tpu.mapping.callbacks import GlobalMappingCallbacks, SubMappingCallbacks
+from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks
+from glim_tpu.utils.extension_module import ExtensionModule
+from glim_tpu.utils.logging import create_module_logger, get_ringbuffer_lines
+from glim_tpu.utils.registry import register_module
+from glim_tpu.utils.trajectory_manager import TrajectoryManager
+
+logger = create_module_logger("viewer")
+
+
+def _batch_bytes(batch) -> int:
+    """CPU+device byte accounting of a PointBatch (reference:
+    standard_viewer_mem.cpp:34-59 attribute layout)."""
+    if batch is None:
+        return 0
+    total = 0
+    for name in ("points", "mask", "times", "intensities", "covs", "normals"):
+        a = getattr(batch, name, None)
+        if a is not None:
+            total += a.size * a.dtype.itemsize
+    return total
+
+
+class StandardViewer(ExtensionModule):
+    def __init__(self, report_interval: float = 10.0):
+        self.report_interval = report_interval
+        self._lock = threading.Lock()
+        self.trajectory = TrajectoryManager()
+        self.odom_poses: List[np.ndarray] = []
+        self.odom_stamps: List[float] = []
+        self.submap_poses: List[np.ndarray] = []
+        self.num_keyframes = 0
+        self.num_marginalized = 0
+        self.frame_bytes = 0
+        self.last_report = time.time()
+        self._handles = []
+        self._wire()
+
+    def _wire(self) -> None:
+        O = OdometryEstimationCallbacks
+        S = SubMappingCallbacks
+        G = GlobalMappingCallbacks
+        add = lambda slot, fn: self._handles.append((slot, slot.add(fn)))
+        add(O.on_new_frame, self._on_new_frame)
+        add(O.on_update_keyframes, self._on_update_keyframes)
+        add(O.on_marginalized_frames, self._on_marginalized)
+        add(S.on_new_submap, self._on_new_submap)
+        add(G.on_update_submaps, self._on_update_submaps)
+
+    def detach(self) -> None:
+        for slot, h in self._handles:
+            slot.remove(h)
+        self._handles = []
+
+    # -- callbacks --
+
+    def _on_new_frame(self, frame) -> None:
+        with self._lock:
+            T = frame.T_world_sensor()
+            self.odom_poses.append(T)
+            self.odom_stamps.append(frame.stamp)
+            self.trajectory.add_odom(frame.stamp, T)
+            self.frame_bytes += _batch_bytes(frame.frame)
+        if time.time() - self.last_report > self.report_interval:
+            self.last_report = time.time()
+            logger.info("viewer: %d frames, %d keyframes, %d submaps, ~%.1f MB frame data",
+                        len(self.odom_poses), self.num_keyframes,
+                        len(self.submap_poses), self.frame_bytes / 1e6)
+
+    def _on_update_keyframes(self, keyframes) -> None:
+        with self._lock:
+            self.num_keyframes += len(keyframes)
+
+    def _on_marginalized(self, frames) -> None:
+        with self._lock:
+            self.num_marginalized += len(frames)
+
+    def _on_new_submap(self, submap) -> None:
+        with self._lock:
+            self.submap_poses.append(np.asarray(submap.T_world_origin))
+
+    def _on_update_submaps(self, submaps) -> None:
+        with self._lock:
+            self.submap_poses = [np.asarray(s.T_world_origin) for s in submaps]
+            if submaps and self.odom_stamps:
+                last = submaps[-1]
+                if last.frames:
+                    self.trajectory.update_anchor(last.frames[-1].stamp,
+                                                  last.T_world_origin
+                                                  @ last.T_origin_endpoint_R)
+
+    # -- outputs --
+
+    def snapshot(self) -> Dict:
+        with self._lock:
+            return dict(
+                odom_poses=[T.copy() for T in self.odom_poses],
+                odom_stamps=list(self.odom_stamps),
+                submap_poses=[T.copy() for T in self.submap_poses],
+                num_keyframes=self.num_keyframes,
+                num_marginalized=self.num_marginalized,
+                T_world_odom=self.trajectory.get_T_world_odom(),
+                log_tail=get_ringbuffer_lines(32),
+            )
+
+    def at_exit(self, dump_path: str) -> None:
+        import os
+
+        from glim_tpu.utils.config import se3_to_tum
+        os.makedirs(dump_path, exist_ok=True)
+        with self._lock:
+            with open(os.path.join(dump_path, "viewer_odom.txt"), "w") as f:
+                for t, T in zip(self.odom_stamps, self.odom_poses):
+                    v = se3_to_tum(T)
+                    f.write(f"{t:.9f} " + " ".join(f"{x:.6f}" for x in v) + "\n")
+
+
+@register_module("extension", "standard_viewer")
+def create_extension_module(*args, **kwargs):
+    return StandardViewer()

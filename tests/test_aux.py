@@ -1,0 +1,118 @@
+"""Auxiliary subsystem tests: IMU validation, data validator, viewer modules,
+common-layer front-ends."""
+
+import numpy as np
+
+from glim_tpu.common.cloud_covariance_estimation import CloudCovarianceEstimation
+from glim_tpu.common.cloud_deskewing import CloudDeskewing
+from glim_tpu.common.imu_integration import IMUIntegration
+from glim_tpu.common.imu_validation import IMUValidation, RunningStatistics
+from glim_tpu.types import RawPoints
+from glim_tpu.utils.data_validator import DataValidator
+from glim_tpu.viewer.memory_monitor import MemoryMonitor, read_meminfo
+from glim_tpu.viewer.standard_viewer import StandardViewer
+
+
+class TestRunningStatistics:
+    def test_moments(self, rng):
+        xs = rng.normal(size=500) * 2.0 + 3.0
+        st = RunningStatistics()
+        for x in xs:
+            st.add(float(x))
+        assert abs(st.mean - xs.mean()) < 1e-9
+        assert abs(st.var - xs.var(ddof=1)) < 1e-6
+        assert st.min == xs.min() and st.max == xs.max()
+
+
+class TestIMUValidation:
+    def test_good_imu_wins(self):
+        v = IMUValidation(report_interval=1000)
+        T = np.eye(4)
+        vel = np.array([1.0, 0, 0])
+        for i in range(50):
+            T_opt = T.copy()
+            T_opt[0, 3] = 0.1 * i
+            # IMU prediction exact; CV prediction lags on the first step.
+            v.validate(T_opt, vel, T_opt, vel, dt=0.1)
+        assert v.rot_wins.mean >= 0.99
+
+
+class TestIMUIntegration:
+    def test_queue_and_integration(self):
+        integ = IMUIntegration(capacity=64)
+        for i in range(50):
+            integ.insert_imu(i * 0.01, [0, 0, 9.80665], [0, 0, 0])
+        pre, n = integ.integrate_imu(0.0, 0.3, np.zeros(6))
+        assert n >= 29
+        assert abs(float(pre.dt) - 0.29) < 0.02
+        integ.erase_imu_data(0.2)
+        assert integ.find_imu_data(0.0, 0.19).shape[0] == 0
+
+    def test_pose_rate_output(self):
+        integ = IMUIntegration()
+        for i in range(40):
+            integ.insert_imu(i * 0.01, [0, 0, 9.80665], [0, 0, 0.5])
+        out = integ.integrate_imu_rate_poses(np.eye(4), np.zeros(3), np.zeros(6),
+                                             0.0, 0.35)
+        assert out is not None
+        stamps, Rs, ps = out
+        assert len(stamps) >= 30
+        # Yaw accumulates at 0.5 rad/s.
+        yaw = np.arctan2(np.asarray(Rs)[-1][1, 0], np.asarray(Rs)[-1][0, 0])
+        assert abs(yaw - 0.5 * (stamps[-1] - stamps[0])) < 0.02
+
+
+class TestCommonFrontends:
+    def test_deskew_and_cov(self, rng):
+        import jax.numpy as jnp
+        pts = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32))
+        mask = jnp.ones(256, bool)
+        times = jnp.zeros(256)
+        d = CloudDeskewing()
+        out = d.deskew_twist(pts, times, mask, np.zeros(6))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-6)
+
+        from glim_tpu.ops import knn
+        nbr, _ = knn.knn_self(pts, mask, 5)
+        cce = CloudCovarianceEstimation()
+        covs, normals = cce.estimate(pts, mask, nbr)
+        assert covs.shape == (256, 3, 3)
+
+
+class TestDataValidator:
+    def test_detects_problems(self):
+        dv = DataValidator(report_interval=1e9)
+        dv.imu_callback(1.0, np.array([0, 0, 9.8]), np.zeros(3))
+        dv.imu_callback(0.5, np.array([0, 0, 9.8]), np.zeros(3))   # rewind
+        dv.imu_callback(0.6, np.array([0, 0, 0.1]), np.zeros(3))   # implausible acc
+        pts = np.ones((10, 3))
+        pts[2] = np.inf
+        dv.points_callback(RawPoints(stamp=0.7, points=pts))
+        assert dv.num_nonfinite == 1
+        dv.timer_callback()
+
+
+class TestViewerModules:
+    def test_standard_viewer_aggregates(self, rng):
+        from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks as CB
+        from glim_tpu.types import EstimationFrame
+        sv = StandardViewer(report_interval=1e9)
+        try:
+            for i in range(5):
+                T = np.eye(4)
+                T[0, 3] = float(i)
+                CB.on_new_frame(EstimationFrame(id=i, stamp=0.1 * i, T_world_lidar=T))
+            snap = sv.snapshot()
+            assert len(snap["odom_poses"]) == 5
+            np.testing.assert_allclose(snap["odom_poses"][4][0, 3], 4.0)
+        finally:
+            sv.detach()
+
+    def test_memory_monitor(self):
+        mm = MemoryMonitor(interval=0.05)
+        import time
+        time.sleep(0.15)
+        assert mm.ok()
+        mm.stop()
+        info = read_meminfo()
+        assert info.get("MemTotal", 0) > 0
