@@ -88,7 +88,7 @@ class OdometryEstimationIMUParams:
     def from_config(config, sensors_config=None) -> "OdometryEstimationIMUParams":
         p = OdometryEstimationIMUParams()
         g = lambda k, d: config.param("odometry_estimation", k, d)
-        p.initialization_mode = g("initialization_mode", "NAIVE")
+        p.initialization_mode = g("initialization_mode", "LOOSE")
         p.initialization_window_size = g("initialization_window_size", 1.0)
         p.init_pose_damping_scale = g("init_pose_damping_scale", 1e10)
         p.smoother_lag = g("smoother_lag", 5.0)
@@ -127,7 +127,12 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         self.W = p.window_size
 
         self.window = empty_window(self.W)
-        self.model = vmx.empty_gaussian_voxelmap(p.voxel_capacity, p.voxel_resolution)
+        # Multi-resolution keyframe maps (reference: 2-3 levels x scaling
+        # factor widen the VGICP convergence basin, gpu.cpp:97-106).
+        self.model = tuple(
+            vmx.empty_gaussian_voxelmap(max(p.voxel_capacity >> lvl, 8192),
+                                        p.voxel_resolution * (p.voxelmap_scaling_factor ** lvl))
+            for lvl in range(max(p.voxelmap_levels, 1)))
         self._frame_slots: List[dict] = []   # device arrays per window slot
         self._preints: List = []             # PreintegratedImu between slots
         self._est_frames: List[EstimationFrame] = []
@@ -417,14 +422,15 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         mask = self._frame_slots[k]["mask"] if k < len(self._frame_slots) else None
         if mask is None:
             return
-        ov = float(vmx.voxelmap_overlap(self.model, deskewed, mask, T_wl))
+        ov = float(vmx.voxelmap_overlap(self.model[0], deskewed, mask, T_wl))
         if self.frame_count > 0 and ov > p.keyframe_max_overlap:
             return
         w_pts = deskewed @ T_wl[:3, :3].T + T_wl[:3, 3]
         R = T_wl[:3, :3]
         covs_w = jnp.einsum("ij,cjk,lk->cil", R, covs, R)
-        self.model = vmx.voxelmap_insert(self.model, w_pts, mask, covs_w,
-                                         jnp.int32(self.frame_count))
+        self.model = tuple(
+            vmx.voxelmap_insert(vm, w_pts, mask, covs_w, jnp.int32(self.frame_count))
+            for vm in self.model)
         CB.on_update_keyframes(self._est_frames[-1:])
 
     def _sync_frame_pose(self, est: EstimationFrame, k: int) -> None:

@@ -135,7 +135,7 @@ def _bias_rw_system(b_i, b_j, dt, bias_rw_info):
 @partial(jax.jit, static_argnames=("W", "outer_iters", "inner_iters"))
 def window_optimize(win: WindowState, preints: PreintegratedImu,
                     frame_pts, frame_covs, frame_mask,
-                    vm: GaussianVoxelMap, T_lidar_imu,
+                    vms, T_lidar_imu,
                     gravity, bias_rw_info, matching_weight,
                     *, W: int, outer_iters: int = 2, inner_iters: int = 2):
     """Batch GN over the window.
@@ -143,9 +143,14 @@ def window_optimize(win: WindowState, preints: PreintegratedImu,
     preints: stacked PreintegratedImu with leading dim (W-1,) — entry k
     connects state k to k+1 (invalid entries have dt=0 and are ignored).
     frame_*: (W, C, ...) per-state deskewed scans in their LIDAR frame.
-    vm: keyframe model voxel map (world frame).
+    vms: TUPLE of keyframe model voxel maps, one per resolution level
+         (multi-resolution matching widens the convergence basin — reference
+         odometry_estimation_gpu.cpp:97-106); systems from all levels are
+         summed.
     T_lidar_imu: extrinsics (p_lidar = T_lidar_imu p_imu).
     """
+    if isinstance(vms, GaussianVoxelMap):
+        vms = (vms,)
     D = W * STATE_DIM
     T_imu_lidar = lie.se3_inv(T_lidar_imu)
 
@@ -201,25 +206,26 @@ def window_optimize(win: WindowState, preints: PreintegratedImu,
             g = g.at[bj:bj + 6].add(w_k * bbj)
             err = err + w_k * eb
 
-        # Matching-cost factors: each window frame vs the keyframe map
-        # (cached correspondences; poses here are T_world_imu, points are in
-        # the lidar frame -> T_world_lidar = T_world_imu @ T_imu_lidar).
+        # Matching-cost factors: each window frame vs each resolution level
+        # of the keyframe map (cached correspondences; poses here are
+        # T_world_imu, points in the lidar frame -> T_world_lidar =
+        # T_world_imu @ T_imu_lidar).
+        Ad = lie.se3_adjoint(lie.se3_inv(T_imu_lidar))
         for k in range(W):
-            mu_k, Ct_k, hit_k = corr[k]
             T_wl = T[k] @ T_imu_lidar
-            s_sys = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl, frame_pts[k],
-                                                frame_covs[k], mu_k, Ct_k, hit_k)
             w_k = win.valid[k].astype(jnp.float32) * matching_weight
-            # Map the lidar-pose Jacobian to the imu-pose tangent:
-            # T_wl = T_wi * T_il, right perturbation on T_wi:
-            # T_wi exp(xi) T_il = T_wl (T_il^-1 exp(xi) T_il) = T_wl exp(Ad_{T_il^-1} xi)
-            Ad = lie.se3_adjoint(lie.se3_inv(T_imu_lidar))
-            H_ss = Ad.T @ s_sys.H_ss @ Ad
-            b_s = Ad.T @ s_sys.b_s
-            s = k * STATE_DIM
-            H = H.at[s:s + 6, s:s + 6].add(w_k * H_ss)
-            g = g.at[s:s + 6].add(w_k * b_s)
-            err = err + w_k * s_sys.error
+            for lvl in range(len(vms)):
+                mu_k, Ct_k, hit_k = corr[k][lvl]
+                s_sys = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl, frame_pts[k],
+                                                    frame_covs[k], mu_k, Ct_k, hit_k)
+                # Map the lidar-pose Jacobian to the imu-pose tangent:
+                # T_wi exp(xi) T_il = T_wl exp(Ad_{T_il^-1} xi).
+                H_ss = Ad.T @ s_sys.H_ss @ Ad
+                b_s = Ad.T @ s_sys.b_s
+                s = k * STATE_DIM
+                H = H.at[s:s + 6, s:s + 6].add(w_k * H_ss)
+                g = g.at[s:s + 6].add(w_k * b_s)
+                err = err + w_k * s_sys.error
         return H, g, err
 
     def search(state):
@@ -227,8 +233,8 @@ def window_optimize(win: WindowState, preints: PreintegratedImu,
         out = []
         for k in range(W):
             T_wl = T[k] @ T_imu_lidar
-            out.append(gicp.vgicp_lookup(jnp.eye(4), T_wl, frame_pts[k],
-                                         frame_mask[k], vm))
+            out.append([gicp.vgicp_lookup(jnp.eye(4), T_wl, frame_pts[k],
+                                          frame_mask[k], vm) for vm in vms])
         return out
 
     state = (win.T, win.v, win.b)
