@@ -93,17 +93,23 @@ def estimate_fpfh(points: jnp.ndarray, normals: jnp.ndarray, mask: jnp.ndarray,
 
 @jax.jit
 def match_features(src_feat: jnp.ndarray, src_mask: jnp.ndarray,
-                   tgt_feat: jnp.ndarray, tgt_mask: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-neighbor feature correspondence via one similarity matmul.
+                   tgt_feat: jnp.ndarray, tgt_mask: jnp.ndarray):
+    """Mutual nearest-neighbor feature correspondence via similarity matmuls.
 
-    Returns (Cs,) int32 target index per source point (L2 on normalized
-    histograms == max dot product up to norms; we use full L2)."""
+    Returns (corr (Cs,) int32, mutual (Cs,) bool). The mutual (reciprocal)
+    check discards the bulk of wrong matches on repetitive structure — on
+    descriptor-poor scenes raw NN correspondences are mostly outliers and
+    sink RANSAC's pure-sample probability."""
     s2 = jnp.sum(src_feat * src_feat, axis=-1, keepdims=True)
     t2 = jnp.sum(tgt_feat * tgt_feat, axis=-1)
     d2 = s2 + t2[None, :] - 2.0 * jnp.dot(src_feat, tgt_feat.T,
                                           preferred_element_type=jnp.float32)
     d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
-    return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    d2 = jnp.where(src_mask[:, None], d2, jnp.inf)
+    corr = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    back = jnp.argmin(d2, axis=0).astype(jnp.int32)
+    mutual = src_mask & (back[corr] == jnp.arange(corr.shape[0]))
+    return corr, mutual
 
 
 def _kabsch(src, tgt, w):
@@ -133,16 +139,29 @@ def _ransac_core(src, tgt, corr, valid, thresh, rng, n_hypotheses: int):
     Cs = src.shape[0]
     tgt_c = tgt[corr]                                  # matched target points
 
-    idx = jax.random.randint(rng, (n_hypotheses, 3), 0, Cs)
+    # Sample hypothesis triplets only among valid correspondences.
+    p_valid = valid.astype(jnp.float32)
+    p_valid = p_valid / jnp.maximum(jnp.sum(p_valid), 1.0)
+    idx = jax.random.choice(rng, Cs, (n_hypotheses, 3), p=p_valid)
 
     def one(hidx):
         s3 = src[hidx]
         t3 = tgt_c[hidx]
         w3 = valid[hidx].astype(src.dtype)
+        # Rigidity gate: the triangle side lengths must agree between source
+        # and matched target, or the triplet contains a wrong match and the
+        # hypothesis is discarded before it can collect accidental support.
+        ls = jnp.stack([jnp.linalg.norm(s3[0] - s3[1]),
+                        jnp.linalg.norm(s3[1] - s3[2]),
+                        jnp.linalg.norm(s3[0] - s3[2])])
+        lt = jnp.stack([jnp.linalg.norm(t3[0] - t3[1]),
+                        jnp.linalg.norm(t3[1] - t3[2]),
+                        jnp.linalg.norm(t3[0] - t3[2])])
+        compatible = jnp.all(jnp.abs(ls - lt) < thresh) & (jnp.min(ls) > thresh)
         T = _kabsch(s3, t3, w3 + 1e-6)
         q = src @ T[:3, :3].T + T[:3, 3]
         d2 = jnp.sum((q - tgt_c) ** 2, axis=-1)
-        inl = jnp.sum((d2 < thresh * thresh) & valid)
+        inl = jnp.where(compatible, jnp.sum((d2 < thresh * thresh) & valid), 0)
         return T, inl
 
     Ts, inls = jax.vmap(one)(idx)
@@ -168,9 +187,9 @@ def estimate_pose_ransac(src_pts, src_feat, src_mask, tgt_pts, tgt_feat,
     estimate_pose_ransac equivalent). Returns (RegistrationResult,
     per-source-point inlier mask)."""
     p = params or RANSACParams()
-    corr = match_features(src_feat, src_mask, tgt_feat, tgt_mask)
+    corr, mutual = match_features(src_feat, src_mask, tgt_feat, tgt_mask)
     rng = jax.random.PRNGKey(p.seed)
-    return _ransac_core(src_pts, tgt_pts, corr, src_mask,
+    return _ransac_core(src_pts, tgt_pts, corr, mutual,
                         jnp.float32(p.inlier_threshold), rng,
                         n_hypotheses=p.max_iterations)
 
@@ -212,8 +231,8 @@ def estimate_pose_gnc(src_pts, src_feat, src_mask, tgt_pts, tgt_feat,
     """Graduated-non-convexity global registration (gtsam_points
     estimate_pose_gnc equivalent)."""
     p = params or GNCParams()
-    corr = match_features(src_feat, src_mask, tgt_feat, tgt_mask)
-    return _gnc_core(src_pts, tgt_pts[corr], src_mask,
+    corr, mutual = match_features(src_feat, src_mask, tgt_feat, tgt_mask)
+    return _gnc_core(src_pts, tgt_pts[corr], mutual,
                      jnp.float32(p.inlier_threshold), jnp.float32(p.mu_init),
                      jnp.float32(p.mu_factor), iters=p.max_iterations)
 
