@@ -163,13 +163,10 @@ class CloudPreprocessor:
         else:
             scan_duration = 0.0
         t_scale = max(scan_duration, 1e-3) / 32000.0
-        packed = np.zeros((cap, 4), np.int16)
-        pts64 = np.array(np.asarray(raw.points, np.float64)[:, :3])  # copy: raw must not be mutated
-        pts64 /= pt_scale
-        np.clip(pts64, -32767, 32767, out=pts64)
-        packed[:n, :3] = pts64.round()
-        if scan_duration > 0.0:
-            packed[:n, 3] = np.clip(np.asarray(raw.times) / t_scale, 0, 32767).round()
+        from glim_tpu.native import pack_scan_i16
+        packed, _ = pack_scan_i16(np.asarray(raw.points, np.float64),
+                                  raw.times if scan_duration > 0.0 else None,
+                                  cap, pt_scale, t_scale)
 
         self._rng, sub = jax.random.split(self._rng)
         bbox_T = np.eye(4, dtype=np.float32)

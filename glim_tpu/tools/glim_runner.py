@@ -1,0 +1,100 @@
+"""Offline dataset runner — the ``glim_rosbag`` equivalent.
+
+Plays a recorded dataset through the full pipeline faster than real time with
+queue-based backpressure (reference: docs/quickstart.md:70-79 adaptive
+playback via workload()), then saves the dump.
+
+Dataset layout (ROS-free; rosbags convert to this with standard tooling):
+  dataset/
+    imu.csv                   # rows: t, ax, ay, az, wx, wy, wz
+    scans/NNNNNN.npy          # (N, 3|4) float points, or .ply
+    stamps.csv                # per-scan stamps (row i -> scans/%06i)
+    [times/NNNNNN.npy]        # optional per-point times
+
+Usage: python -m glim_tpu.tools.glim_runner <dataset_dir> [--config DIR]
+       [--dump /tmp/dump] [--synthetic N_SECONDS]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def load_dataset(path: str):
+    imu = np.loadtxt(os.path.join(path, "imu.csv"), delimiter=",") \
+        if os.path.exists(os.path.join(path, "imu.csv")) else np.zeros((0, 7))
+    stamps = np.loadtxt(os.path.join(path, "stamps.csv"), delimiter=",")
+    scan_dir = os.path.join(path, "scans")
+    scans = []
+    for i, stamp in enumerate(np.atleast_1d(stamps)):
+        npy = os.path.join(scan_dir, f"{i:06d}.npy")
+        ply = os.path.join(scan_dir, f"{i:06d}.ply")
+        if os.path.exists(npy):
+            pts = np.load(npy)
+        elif os.path.exists(ply):
+            from glim_tpu.native import ply_read
+            pts = ply_read(ply)
+        else:
+            break
+        tfile = os.path.join(path, "times", f"{i:06d}.npy")
+        times = np.load(tfile) if os.path.exists(tfile) else None
+        scans.append((float(stamp), pts, times))
+    return imu, scans
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset", nargs="?", help="dataset directory")
+    ap.add_argument("--config", default=None, help="config directory")
+    ap.add_argument("--dump", default="/tmp/glim_tpu_dump")
+    ap.add_argument("--synthetic", type=float, default=0.0,
+                    help="run N seconds of the synthetic sequence instead")
+    ap.add_argument("--max-workload", type=int, default=10,
+                    help="throttle input when pipeline workload exceeds this")
+    args = ap.parse_args(argv)
+
+    from glim_tpu.pipeline import GlimTPU
+    from glim_tpu.types import RawPoints
+    from glim_tpu.utils.debug import print_system_info
+
+    print_system_info()
+
+    if args.synthetic > 0:
+        from glim_tpu.io.synthetic import generate_sequence
+        seq = generate_sequence(duration=args.synthetic, n_scan_points=20000,
+                                scene_points=120000)
+        imu = seq.imu
+        scans = [(s.stamp, s.points, s.times) for s in seq.scans]
+    else:
+        if not args.dataset:
+            ap.error("dataset directory or --synthetic required")
+        imu, scans = load_dataset(args.dataset)
+
+    glim = GlimTPU(config_path=args.config, async_mode=True)
+    t0 = time.perf_counter()
+    imu_idx = 0
+    for stamp, pts, times in scans:
+        while imu_idx < len(imu) and imu[imu_idx, 0] <= stamp + 0.2:
+            glim.insert_imu(imu[imu_idx, 0], imu[imu_idx, 1:4], imu[imu_idx, 4:7])
+            imu_idx += 1
+        glim.insert_frame(RawPoints(stamp=stamp, points=pts, times=times))
+        # Adaptive throttling (the glim_rosbag playback-rate control).
+        while glim.workload() > args.max_workload:
+            time.sleep(0.01)
+        if not glim.ok():
+            print("extension module requested shutdown")
+            break
+    glim.wait()
+    elapsed = time.perf_counter() - t0
+    n = len(scans)
+    print(f"processed {n} scans in {elapsed:.1f}s ({n / max(elapsed, 1e-9):.2f} scans/s)")
+    glim.save(args.dump)
+    print(f"dump saved to {args.dump}")
+
+
+if __name__ == "__main__":
+    main()
