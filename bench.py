@@ -50,13 +50,64 @@ def main():
     T0 = seq.gt_poses[0]
     ate = ate_rmse([T0 @ T for T in est], seq.gt_poses, align=False)
 
+    # Flagship LiDAR-IMU pipeline (the reference GPU-config equivalent).
+    imu_stats = bench_imu_pipeline()
+
     print(json.dumps({
         "metric": "odometry_scans_per_sec_10k_pts",
         "value": round(scans_per_sec, 2),
         "unit": "scans/s",
         "vs_baseline": round(scans_per_sec / 10.0, 3),
-        "extra": {"ate_rmse_m": round(ate, 4), "n_scans": n_timed},
+        "extra": {"ate_rmse_m": round(ate, 4), "n_scans": n_timed,
+                  **imu_stats},
     }))
+
+
+def bench_imu_pipeline():
+    """Throughput + ATE of the tightly-coupled LiDAR-IMU estimator."""
+    from glim_tpu.io.synthetic import ate_rmse, generate_sequence
+    from glim_tpu.odometry.odometry_estimation_imu import (
+        OdometryEstimationIMU, OdometryEstimationIMUParams)
+    from glim_tpu.preprocess.cloud_preprocessor import (CloudPreprocessor,
+                                                        CloudPreprocessorParams)
+
+    seq = generate_sequence(duration=6.0, scan_hz=10.0, n_scan_points=20000,
+                            noise=0.01, seed=11, scene_points=120000)
+    pp = CloudPreprocessor(CloudPreprocessorParams(
+        random_downsample_target=10000, downsample_resolution=0.3))
+    odom = OdometryEstimationIMU(OdometryEstimationIMUParams(
+        voxel_resolution=0.5, voxel_capacity=131072, voxelmap_levels=2,
+        initialization_window_size=0.5))
+
+    frames = []
+    imu_idx = 0
+    n_warm = 8
+
+    def feed(raw):
+        nonlocal imu_idx
+        while imu_idx < len(seq.imu) and seq.imu[imu_idx, 0] <= raw.stamp + 0.12:
+            odom.insert_imu(seq.imu[imu_idx, 0], seq.imu[imu_idx, 1:4],
+                            seq.imu[imu_idx, 4:7])
+            imu_idx += 1
+        e = odom.insert_frame(pp.preprocess(raw))
+        if e is not None:
+            frames.append((raw.stamp, e))
+
+    for raw in seq.scans[:n_warm]:
+        feed(raw)
+    _ = [e.T_world_lidar for _, e in frames]
+
+    t0 = time.perf_counter()
+    for raw in seq.scans[n_warm:]:
+        feed(raw)
+    est = [(s, e.T_world_lidar) for s, e in frames]
+    elapsed = time.perf_counter() - t0
+    n_timed = len(seq.scans) - n_warm
+
+    gt = [seq.gt_poses[int(round(s * 10))] for s, _ in est]
+    ate = ate_rmse([T for _, T in est], gt, align=True)
+    return {"imu_scans_per_sec": round(n_timed / elapsed, 2),
+            "imu_ate_rmse_m": round(ate, 4)}
 
 
 if __name__ == "__main__":
