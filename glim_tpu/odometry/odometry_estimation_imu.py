@@ -203,6 +203,23 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         CB.on_smoother_update(self)
 
         k_new = self._num_states() - 1
+        # Corruption detection + recovery (the reference's smoother-fallback
+        # path, odometry_estimation_imu.cpp:375,412-419): if the window solve
+        # produced non-finite states, discard the update, fall back to the
+        # IMU prediction and reset the prior.
+        if not bool(jnp.all(jnp.isfinite(self.window.T[k_new]))):
+            logger.error("window optimization corrupted at %.3f; falling back "
+                         "to IMU prediction", frame.stamp)
+            CB.on_smoother_corruption(frame.stamp)
+            self.window = WindowState(
+                T=self.window.T.at[k_new].set(T_pred),
+                v=self.window.v.at[k_new].set(v_j),
+                b=self.window.b.at[k_new].set(self.window.b[max(k_new - 1, 0)]),
+                stamp=self.window.stamp, valid=self.window.valid,
+                H_prior=jnp.eye(15) * 1e4, b_prior=jnp.zeros(15),
+                T_anchor=self.window.T[0], v_anchor=self.window.v[0],
+                b_anchor=self.window.b[0])
+            H = jnp.eye(self.W * 15)
         if self.imu_validation is not None:
             dt_f = frame.stamp - float(self.window.stamp[k_new - 1]) if k_new > 0 else 0.0
             self.imu_validation.validate(
@@ -369,8 +386,16 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             deskewed = deskew_ops.deskew_imu(
                 frame.device_points, frame.device_times, frame.device_mask,
                 stamps, quats, trans, jnp.asarray(self.T_lidar_imu, jnp.float32))
+            if self.params.save_imu_rate_trajectory:
+                # IMU-rate trajectory rows: t x y z qx qy qz qw (reference
+                # estimation_frame.hpp imu_rate_trajectory, 8xN).
+                q_np = np.asarray(quats)
+                p_np = np.asarray(trans)
+                self._last_imu_rate_traj = np.vstack([
+                    imu[:, 0][None, :], p_np.T, q_np.T])
         else:
             deskewed = frame.device_points
+            self._last_imu_rate_traj = None
         covs, normals = cov_ops.estimate_covariances(
             deskewed, frame.device_mask, frame.device_neighbors, "plane")
         return deskewed, covs, normals
@@ -447,7 +472,8 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             frame_id=FrameID.LIDAR,
             frame=PointBatch(points=deskewed, mask=frame.device_mask,
                              times=frame.device_times, covs=covs, normals=normals),
-            raw_frame=frame)
+            raw_frame=frame,
+            imu_rate_trajectory=getattr(self, "_last_imu_rate_traj", None))
         self._sync_frame_pose(est, k)
         return est
 

@@ -53,6 +53,8 @@ class GlimTPU:
         self.T_lidar_imu = sensors.param_se3("sensors", "T_lidar_imu")
         self.time_keeper = TimeKeeper(PerPointTimeSettings.from_config(sensors))
         self.trajectory = TrajectoryManager()
+        from glim_tpu.utils.data_validator import DataValidator
+        self.data_validator = DataValidator()
 
         pre_cfg = self.config.get_config("config_preprocess")
         self.preprocessor = CloudPreprocessor(
@@ -89,6 +91,7 @@ class GlimTPU:
     # -- input --
 
     def insert_imu(self, stamp: float, linear_acc, angular_vel) -> None:
+        self.data_validator.imu_callback(stamp, linear_acc, angular_vel)
         if not self.time_keeper.validate_imu_stamp(stamp):
             return
         self.odometry.insert_imu(stamp, np.asarray(linear_acc), np.asarray(angular_vel))
@@ -96,6 +99,7 @@ class GlimTPU:
         self.global_mapping.insert_imu(stamp, np.asarray(linear_acc), np.asarray(angular_vel))
 
     def insert_frame(self, raw: RawPoints) -> None:
+        self.data_validator.points_callback(raw)
         if not self.time_keeper.process(raw):
             logger.warning("dropping scan at %.6f", raw.stamp)
             return
