@@ -5,11 +5,16 @@ Equivalent capability to the reference's ``OdometryEstimationIMU`` /
 src/glim/odometry/odometry_estimation_imu.cpp:35-457,
 odometry/odometry_estimation_gpu.cpp:76-412, params from
 config/config_odometry_gpu.json): per-scan IMU preintegration + NavState
-prediction, IMU-rate deskewing, VGICP matching against a keyframe voxel map,
-joint optimization of pose/velocity/bias over a sliding window with
-marginalization priors (the fixed-lag smoother replacement — see
-window_estimator.py), keyframe management by map overlap, and adaptive voxel
-resolution from the median point distance (:89-93).
+prediction, IMU-rate deskewing, multi-resolution VGICP matching against a
+keyframe voxel map, joint optimization of pose/velocity/bias over a sliding
+window with marginalization priors (the fixed-lag smoother replacement), and
+keyframe management by map overlap.
+
+The ENTIRE per-scan pipeline is one fused jitted program
+(window_estimator.window_scan_step); the host builds the padded IMU window,
+dispatches, and never blocks — status (corruption, IMU validation inputs)
+returns through a small packed vector fetched one scan late when its
+transfer has already landed.
 
 Registered as ``odometry_estimation_gpu`` — the reference's "gpu" module is
 its VGICP-accelerated configuration, which is exactly what the TPU runs.
@@ -26,13 +31,10 @@ import numpy as np
 
 from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks as CB
 from glim_tpu.odometry.estimation_base import OdometryEstimationBase
-from glim_tpu.odometry.window_estimator import (WindowState, empty_window,
-                                                window_marginalize,
-                                                window_optimize)
+from glim_tpu.odometry.window_estimator import (OLD_SUBSAMPLE, WindowState,
+                                                empty_window, window_scan_step)
 from glim_tpu.ops import covariance as cov_ops
-from glim_tpu.ops import deskew as deskew_ops
-from glim_tpu.ops import imu as imu_ops
-from glim_tpu.ops import lie, lie_np, pointops
+from glim_tpu.ops import lie_np
 from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.types import EstimationFrame, FrameID, PointBatch, PreprocessedFrame
 from glim_tpu.utils.logging import create_module_logger
@@ -54,7 +56,7 @@ class OdometryEstimationIMUParams:
     fix_imu_bias: bool = False
     compute_covs: bool = False
     window_size: int = 4
-    outer_iterations: int = 3
+    outer_iterations: int = 2
     inner_iterations: int = 2
     # Voxel params
     voxel_resolution: float = 0.25
@@ -83,6 +85,7 @@ class OdometryEstimationIMUParams:
     save_imu_rate_trajectory: bool = False
     imu_window_capacity: int = 256
     matching_weight: float = 1.0
+    bootstrap_frames: int = 5
 
     @staticmethod
     def from_config(config, sensors_config=None) -> "OdometryEstimationIMUParams":
@@ -126,25 +129,22 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         self.T_lidar_imu = np.eye(4) if p.T_lidar_imu is None else np.asarray(p.T_lidar_imu)
         self.W = p.window_size
 
-        self.window = empty_window(self.W)
         # Multi-resolution keyframe maps (reference: 2-3 levels x scaling
         # factor widen the VGICP convergence basin, gpu.cpp:97-106).
         self.model = tuple(
             vmx.empty_gaussian_voxelmap(max(p.voxel_capacity >> lvl, 8192),
                                         p.voxel_resolution * (p.voxelmap_scaling_factor ** lvl))
             for lvl in range(max(p.voxelmap_levels, 1)))
-        self._frame_slots: List[dict] = []   # device arrays per window slot
-        self._preints: List = []             # PreintegratedImu between slots
+        self.window: Optional[WindowState] = None   # lazy (needs capacity)
         self._est_frames: List[EstimationFrame] = []
 
         self.imu_buffer: List[np.ndarray] = []   # rows [t, ax..az, wx..wz]
         self._init_odom = None
         self._init_poses: List = []
-        self._last_init_frame = None
+        self._pending_status = None
         self.initialized = False
         self.frame_count = 0
         self.last_frame_stamp: Optional[float] = None
-        self._rng = jax.random.PRNGKey(3)
         if p.validate_imu:
             from glim_tpu.common.imu_validation import IMUValidation
             self.imu_validation = IMUValidation()
@@ -169,103 +169,131 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         if not self.initialized:
             if not self._try_initialize(frame):
                 return None
+            self.last_frame_stamp = frame.stamp
+            return self._est_frames[-1]
 
-        pre = self._preintegrate(self.last_frame_stamp, frame.stamp)
+        imu_args = self._imu_window(self.last_frame_stamp, frame.stamp,
+                                    frame.scan_end_time)
 
-        # Predict the new state from the last one.
-        k_last = self._num_states() - 1
-        T_last = np.asarray(self.window.T[k_last], np.float64)
-        v_last = np.asarray(self.window.v[k_last], np.float64)
-        b_last = np.asarray(self.window.b[k_last], np.float64)
-        R_j, p_j, v_j = imu_ops.predict(
-            jnp.asarray(T_last[:3, :3], jnp.float32), jnp.asarray(T_last[:3, 3], jnp.float32),
-            jnp.asarray(v_last, jnp.float32), pre, jnp.asarray(b_last, jnp.float32),
-            jnp.asarray(GRAVITY, jnp.float32))
-        T_pred = jnp.eye(4).at[:3, :3].set(R_j).at[:3, 3].set(p_j)
-
-        # Deskew with IMU-rate poses over the scan interval.
-        deskewed, covs, normals = self._prepare_scan(frame, T_last, v_last, b_last)
-
-        # Push the new state + frame into the window.
-        self._push_state(frame, T_pred, v_j, pre, deskewed, covs)
-
-        # Optimize the window.
-        W = self.W
-        pre_stack = self._stack_preints()
-        f_pts, f_covs, f_mask = self._stack_frames()
-        self.window, H, err = window_optimize(
-            self.window, pre_stack, f_pts, f_covs, f_mask, self.model,
+        bootstrap = self.frame_count < p.bootstrap_frames
+        self.window, self.model, out = window_scan_step(
+            self.window, self.model,
+            frame.device_points, frame.device_times, frame.device_mask,
+            frame.device_neighbors, *imu_args,
+            jnp.float32(frame.stamp - self._t0),
             jnp.asarray(self.T_lidar_imu, jnp.float32),
             jnp.asarray(GRAVITY, jnp.float32),
+            jnp.float32(p.imu_acc_noise), jnp.float32(p.imu_gyro_noise),
+            jnp.float32(p.imu_int_noise),
             jnp.full(6, 1.0 / max(p.imu_bias_noise, 1e-8), jnp.float32),
-            jnp.float32(p.matching_weight),
-            W=W, outer_iters=p.outer_iterations, inner_iters=p.inner_iterations)
+            jnp.float32(p.matching_weight), jnp.float32(p.keyframe_max_overlap),
+            W=self.W, outer_iters=p.outer_iterations,
+            inner_iters=p.inner_iterations, bootstrap=bootstrap)
         CB.on_smoother_update(self)
 
-        k_new = self._num_states() - 1
-        # Corruption detection + recovery (the reference's smoother-fallback
-        # path, odometry_estimation_imu.cpp:375,412-419): if the window solve
-        # produced non-finite states, discard the update, fall back to the
-        # IMU prediction and reset the prior.
-        if not bool(jnp.all(jnp.isfinite(self.window.T[k_new]))):
-            logger.error("window optimization corrupted at %.3f; falling back "
-                         "to IMU prediction", frame.stamp)
-            CB.on_smoother_corruption(frame.stamp)
-            self.window = WindowState(
-                T=self.window.T.at[k_new].set(T_pred),
-                v=self.window.v.at[k_new].set(v_j),
-                b=self.window.b.at[k_new].set(self.window.b[max(k_new - 1, 0)]),
-                stamp=self.window.stamp, valid=self.window.valid,
-                H_prior=jnp.eye(15) * 1e4, b_prior=jnp.zeros(15),
-                T_anchor=self.window.T[0], v_anchor=self.window.v[0],
-                b_anchor=self.window.b[0])
-            H = jnp.eye(self.W * 15)
-        if self.imu_validation is not None:
-            dt_f = frame.stamp - float(self.window.stamp[k_new - 1]) if k_new > 0 else 0.0
-            self.imu_validation.validate(
-                np.asarray(T_pred, np.float64), np.asarray(v_j, np.float64),
-                np.asarray(self.window.T[k_new], np.float64),
-                np.asarray(self.window.v[k_new], np.float64), dt_f)
-        est = self._make_estimation_frame(frame, k_new, deskewed, covs, normals)
-        self._est_frames.append(est)
-        CB.on_new_frame(est)
-
-        # Keyframe / model update.
-        self._update_model(k_new, deskewed, covs)
-
-        # Marginalize when the window overflows.
-        if self._num_states() > self.W - 1 and len(self._frame_slots) == self.W:
+        # Marginalization bookkeeping: the step evicted the oldest state iff
+        # the ring was full before this insert.
+        if len(self._est_frames) == self.W:
             marg_est = self._est_frames.pop(0)
-            # Refresh the marginalized frame's pose from the optimized window.
-            self._sync_frame_pose(marg_est, 0)
-            self.window = window_marginalize(self.window, H, W=self.W)
-            self._frame_slots.pop(0)
-            self._preints.pop(0)
+            marg_est.device_T_world_lidar = out["marg"]["T_wl"]
+            marg_est._T_world_lidar = None
+            marg_est._T_world_imu = None
+            marg_est.device_v_world_imu = out["marg"]["v"]
+            marg_est._v_world_imu = None
             CB.on_marginalized_frames([marg_est])
             if marginalized is not None:
                 marginalized.append(marg_est)
 
-        # Refresh in-window published poses.
-        for off, e in enumerate(self._est_frames):
-            self._sync_frame_pose(e, off)
+        est = EstimationFrame(
+            id=self.frame_count, stamp=frame.stamp,
+            T_lidar_imu=self.T_lidar_imu.copy(),
+            device_T_world_lidar=out["T_wl"],
+            device_v_world_imu=out["v"],
+            frame_id=FrameID.LIDAR,
+            frame=PointBatch(points=out["deskewed"], mask=frame.device_mask,
+                             times=frame.device_times, covs=out["covs"],
+                             normals=out["normals"]),
+            raw_frame=frame)
+        est.custom_data["device_bias"] = out["b"]
+        if p.save_imu_rate_trajectory:
+            stamps_t, quats_t, trans_t = out["pose_table"]
+            q_np = np.asarray(quats_t)
+            est.imu_rate_trajectory = np.vstack([
+                np.asarray(stamps_t)[None, :] + frame.stamp,
+                np.asarray(trans_t).T, q_np.T])
+        self._est_frames.append(est)
+        CB.on_new_frame(est)
         CB.on_update_frames(self._est_frames)
         CB.on_smoother_update_finish(self)
+
+        # Process LAST scan's status (its transfer has landed by now): the
+        # corruption flag + IMU-validation inputs lag one scan by design.
+        self._process_status()
+        self._pending_status = (out["status"], frame.stamp,
+                                frame.stamp - self.last_frame_stamp)
 
         self.frame_count += 1
         self.last_frame_stamp = frame.stamp
         return est
 
     def get_remaining_frames(self) -> List[EstimationFrame]:
-        for off, e in enumerate(self._est_frames):
-            self._sync_frame_pose(e, off)
+        self._process_status()
+        if self.window is not None and self._est_frames:
+            # Final pose refresh from the optimized window.
+            n = len(self._est_frames)
+            T_wl_all = np.asarray(self.window.T, np.float64) @ np.linalg.inv(self.T_lidar_imu)
+            v_all = np.asarray(self.window.v, np.float64)
+            for i, e in enumerate(self._est_frames):
+                k = self.W - n + i
+                e.T_world_lidar = T_wl_all[k]
+                e.v_world_imu = v_all[k]
         out = self._est_frames
         self._est_frames = []
         return out
 
     # -- internals --
 
-    def _num_states(self) -> int:
-        return len(self._frame_slots)
+    def _process_status(self) -> None:
+        if self._pending_status is None:
+            return
+        status, stamp, dt = self._pending_status
+        self._pending_status = None
+        s = np.asarray(status)
+        finite = s[0] > 0.5
+        if not finite:
+            logger.error("window optimization corrupted at %.3f; IMU-prediction "
+                         "fallback engaged", stamp)
+            CB.on_smoother_corruption(stamp)
+        if self.imu_validation is not None and finite:
+            T_pred = np.eye(4)
+            T_pred[:] = s[4:20].reshape(4, 4)
+            v_pred = s[20:23]
+            T_opt = s[23:39].reshape(4, 4)
+            v_opt = s[39:42]
+            self.imu_validation.validate(T_pred, v_pred, T_opt, v_opt, dt)
+
+    def _imu_window(self, t_prev: float, t_scan: float, t_end: float):
+        """Padded IMU arrays covering (t_prev, t_end], stamps relative to
+        t_scan (device masks split preintegration vs deskew use)."""
+        cap = self.params.imu_window_capacity
+        rows = [r for r in self.imu_buffer if t_prev < r[0] <= t_end + 0.02]
+        self.imu_buffer = [r for r in self.imu_buffer if r[0] > t_prev - 0.2]
+        n = min(len(rows), cap)
+        acc = np.zeros((cap, 3), np.float32)
+        gyro = np.zeros((cap, 3), np.float32)
+        rel = np.zeros(cap, np.float32)
+        dts = np.zeros(cap, np.float32)
+        mask = np.zeros(cap, bool)
+        prev = t_prev
+        for i in range(n):
+            acc[i] = rows[i][1:4]
+            gyro[i] = rows[i][4:7]
+            rel[i] = rows[i][0] - t_scan
+            dts[i] = max(rows[i][0] - prev, 0.0)
+            prev = rows[i][0]
+            mask[i] = True
+        return (jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(rel),
+                jnp.asarray(dts), jnp.asarray(mask))
 
     def _try_initialize(self, frame: PreprocessedFrame) -> bool:
         """Initialization hand-off (reference:
@@ -282,7 +310,6 @@ class OdometryEstimationIMU(OdometryEstimationBase):
 
         init = None
         if p.initialization_mode.upper() == "LOOSE":
-            # LiDAR-only odometry over the init window.
             if self._init_odom is None:
                 from glim_tpu.odometry.odometry_estimation_cpu import (
                     OdometryEstimationCPU, OdometryEstimationCPUParams)
@@ -293,7 +320,6 @@ class OdometryEstimationIMU(OdometryEstimationBase):
                 self._init_poses = []
             est0 = self._init_odom.insert_frame(frame)
             self._init_poses.append((frame.stamp, est0.T_world_lidar))
-            self._last_init_frame = (frame, est0)
             if (self._init_poses[-1][0] - self._init_poses[0][0]
                     < p.initialization_window_size):
                 return False
@@ -310,172 +336,56 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         v0 = init.v_world
         b0 = np.zeros(6) if p.fix_imu_bias else init.bias
 
-        self.window = WindowState(
-            T=self.window.T.at[0].set(jnp.asarray(T0, jnp.float32)),
-            v=self.window.v.at[0].set(jnp.asarray(v0, jnp.float32)),
-            b=self.window.b.at[0].set(jnp.asarray(b0, jnp.float32)),
-            stamp=self.window.stamp.at[0].set(frame.stamp),
-            valid=self.window.valid.at[0].set(True),
-            H_prior=jnp.eye(15) * self.params.init_pose_damping_scale,
-            b_prior=jnp.zeros(15),
-            T_anchor=jnp.asarray(T0, jnp.float32),
-            v_anchor=jnp.asarray(v0, jnp.float32),
-            b_anchor=jnp.asarray(b0, jnp.float32))
+        C = int(frame.device_points.shape[0])
+        self._t0 = frame.stamp
+        win = empty_window(self.W, C // OLD_SUBSAMPLE)
 
-        deskewed, covs, normals = self._prepare_scan(frame, T0, v0, b0)
-        self._frame_slots.append(dict(pts=deskewed, covs=covs, mask=frame.device_mask,
-                                      stamp=frame.stamp))
-        self._update_model(0, deskewed, covs)
-        est = self._make_estimation_frame(frame, 0, deskewed, covs, normals)
+        # First frame: no motion reference yet — covariances on the raw scan.
+        covs, normals = cov_ops.estimate_covariances(
+            frame.device_points, frame.device_mask, frame.device_neighbors, "plane")
+
+        W = self.W
+        T0_d = jnp.asarray(T0, jnp.float32)
+        self.window = WindowState(
+            T=win.T.at[W - 1].set(T0_d),
+            v=win.v.at[W - 1].set(jnp.asarray(v0, jnp.float32)),
+            b=win.b.at[W - 1].set(jnp.asarray(b0, jnp.float32)),
+            stamp=win.stamp.at[W - 1].set(0.0),
+            valid=win.valid.at[W - 1].set(True),
+            pts=win.pts.at[W - 1].set(frame.device_points[::OLD_SUBSAMPLE]),
+            covs=win.covs.at[W - 1].set(covs[::OLD_SUBSAMPLE]),
+            mask=win.mask.at[W - 1].set(frame.device_mask[::OLD_SUBSAMPLE]),
+            preints=win.preints,
+            H_prior=jnp.eye(15) * p.init_pose_damping_scale,
+            b_prior=jnp.zeros(15),
+            T_anchor=T0_d,
+            v_anchor=jnp.asarray(v0, jnp.float32),
+            b_anchor=jnp.asarray(b0, jnp.float32),
+            H_last=jnp.eye(W * 15), step=jnp.int32(0))
+
+        # Seed the keyframe maps with the first frame.
+        T_wl = T0_d @ jnp.asarray(np.linalg.inv(self.T_lidar_imu), jnp.float32)
+        w_pts = frame.device_points @ T_wl[:3, :3].T + T_wl[:3, 3]
+        covs_w = jnp.einsum("ij,cjk,lk->cil", T_wl[:3, :3], covs, T_wl[:3, :3])
+        self.model = tuple(
+            vmx.voxelmap_insert(vm, w_pts, frame.device_mask, covs_w, jnp.int32(0))
+            for vm in self.model)
+
+        est = EstimationFrame(
+            id=0, stamp=frame.stamp, T_lidar_imu=self.T_lidar_imu.copy(),
+            device_T_world_lidar=T_wl, frame_id=FrameID.LIDAR,
+            frame=PointBatch(points=frame.device_points, mask=frame.device_mask,
+                             times=frame.device_times, covs=covs, normals=normals),
+            raw_frame=frame)
+        est.v_world_imu = v0
+        est.imu_bias = b0
         self._est_frames.append(est)
         self.initialized = True
         self._init_odom = None
-        self.last_frame_stamp = frame.stamp
         self.frame_count = 1
         logger.info("initialized (%s): |v|=%.2f bias=%s",
                     p.initialization_mode, np.linalg.norm(v0), b0.round(4))
         return True
-
-    def _imu_slice(self, t0: float, t1: float):
-        """Padded (cap, 7) IMU samples covering (t0, t1]."""
-        cap = self.params.imu_window_capacity
-        rows = [r for r in self.imu_buffer if t0 < r[0] <= t1 + 1e-9]
-        # Drop consumed history (keep a small margin for the next deskew).
-        self.imu_buffer = [r for r in self.imu_buffer if r[0] > t0 - 0.2]
-        n = min(len(rows), cap)
-        out = np.zeros((cap, 7), np.float32)
-        dts = np.zeros(cap, np.float32)
-        prev = t0
-        for i, r in enumerate(rows[:n]):
-            out[i] = r
-            dts[i] = max(r[0] - prev, 0.0)
-            prev = r[0]
-        mask = np.zeros(cap, bool)
-        mask[:n] = True
-        return (jnp.asarray(out[:, 1:4]), jnp.asarray(out[:, 4:7]),
-                jnp.asarray(dts), jnp.asarray(mask), rows[:n])
-
-    def _preintegrate(self, t0: float, t1: float):
-        p = self.params
-        acc, gyro, dts, mask, _ = self._imu_slice(t0, t1)
-        k_last = self._num_states() - 1
-        bias = self.window.b[k_last]
-        return imu_ops.preintegrate(acc, gyro, dts, mask, bias,
-                                    jnp.float32(p.imu_acc_noise),
-                                    jnp.float32(p.imu_gyro_noise),
-                                    jnp.float32(p.imu_int_noise))
-
-    def _prepare_scan(self, frame: PreprocessedFrame, T_last, v_last, b_last):
-        """IMU-rate deskew + covariance estimation."""
-        t0 = frame.stamp
-        t1 = frame.scan_end_time
-        cap = self.params.imu_window_capacity
-        rows = [r for r in self.imu_buffer if t0 - 0.05 < r[0] <= t1 + 0.05]
-        if len(rows) >= 2:
-            imu = np.stack(rows)[:cap]
-            dts = np.diff(imu[:, 0], prepend=imu[0, 0])
-            Rs, ps, vs = imu_ops.integrate_poses(
-                jnp.asarray(np.asarray(T_last)[:3, :3], jnp.float32),
-                jnp.asarray(np.asarray(T_last)[:3, 3], jnp.float32),
-                jnp.asarray(v_last, jnp.float32), jnp.asarray(b_last, jnp.float32),
-                jnp.asarray(GRAVITY, jnp.float32),
-                jnp.asarray(imu[:, 1:4], jnp.float32), jnp.asarray(imu[:, 4:7], jnp.float32),
-                jnp.asarray(dts, jnp.float32), jnp.ones(len(imu), bool))
-            stamps, quats, trans = deskew_ops.imu_pose_table(
-                jnp.asarray(imu[:, 0] - t0, jnp.float32), Rs, ps)
-            deskewed = deskew_ops.deskew_imu(
-                frame.device_points, frame.device_times, frame.device_mask,
-                stamps, quats, trans, jnp.asarray(self.T_lidar_imu, jnp.float32))
-            if self.params.save_imu_rate_trajectory:
-                # IMU-rate trajectory rows: t x y z qx qy qz qw (reference
-                # estimation_frame.hpp imu_rate_trajectory, 8xN).
-                q_np = np.asarray(quats)
-                p_np = np.asarray(trans)
-                self._last_imu_rate_traj = np.vstack([
-                    imu[:, 0][None, :], p_np.T, q_np.T])
-        else:
-            deskewed = frame.device_points
-            self._last_imu_rate_traj = None
-        covs, normals = cov_ops.estimate_covariances(
-            deskewed, frame.device_mask, frame.device_neighbors, "plane")
-        return deskewed, covs, normals
-
-    def _push_state(self, frame, T_pred, v_pred, pre, deskewed, covs):
-        k = self._num_states()
-        if k >= self.W:
-            raise RuntimeError("window overflow — marginalization out of sync")
-        self.window = WindowState(
-            T=self.window.T.at[k].set(T_pred),
-            v=self.window.v.at[k].set(v_pred),
-            b=self.window.b.at[k].set(self.window.b[k - 1]),
-            stamp=self.window.stamp.at[k].set(frame.stamp),
-            valid=self.window.valid.at[k].set(True),
-            H_prior=self.window.H_prior, b_prior=self.window.b_prior,
-            T_anchor=self.window.T_anchor, v_anchor=self.window.v_anchor,
-            b_anchor=self.window.b_anchor)
-        self._frame_slots.append(dict(pts=deskewed, covs=covs, mask=frame.device_mask,
-                                      stamp=frame.stamp))
-        self._preints.append(pre)
-
-    def _stack_preints(self):
-        import jax.tree_util as jtu
-        pres = list(self._preints)
-        while len(pres) < self.W - 1:
-            pres.append(jtu.tree_map(jnp.zeros_like, pres[-1]) if pres else None)
-        if pres and pres[0] is None:
-            raise RuntimeError("no preintegrations available")
-        return jtu.tree_map(lambda *xs: jnp.stack(xs), *pres)
-
-    def _stack_frames(self):
-        pts = jnp.stack([s["pts"] for s in self._pad_slots()])
-        covs = jnp.stack([s["covs"] for s in self._pad_slots()])
-        mask = jnp.stack([s["mask"] for s in self._pad_slots()])
-        return pts, covs, mask
-
-    def _pad_slots(self):
-        slots = list(self._frame_slots)
-        while len(slots) < self.W:
-            s0 = slots[-1]
-            slots.append(dict(pts=s0["pts"], covs=s0["covs"],
-                              mask=jnp.zeros_like(s0["mask"]), stamp=0.0))
-        return slots
-
-    def _update_model(self, k: int, deskewed, covs):
-        p = self.params
-        T_wi = self.window.T[k]
-        T_wl = T_wi @ jnp.asarray(np.linalg.inv(self.T_lidar_imu), jnp.float32)
-        mask = self._frame_slots[k]["mask"] if k < len(self._frame_slots) else None
-        if mask is None:
-            return
-        ov = float(vmx.voxelmap_overlap(self.model[0], deskewed, mask, T_wl))
-        if self.frame_count > 0 and ov > p.keyframe_max_overlap:
-            return
-        w_pts = deskewed @ T_wl[:3, :3].T + T_wl[:3, 3]
-        R = T_wl[:3, :3]
-        covs_w = jnp.einsum("ij,cjk,lk->cil", R, covs, R)
-        self.model = tuple(
-            vmx.voxelmap_insert(vm, w_pts, mask, covs_w, jnp.int32(self.frame_count))
-            for vm in self.model)
-        CB.on_update_keyframes(self._est_frames[-1:])
-
-    def _sync_frame_pose(self, est: EstimationFrame, k: int) -> None:
-        T_wi = np.asarray(self.window.T[k], np.float64)
-        est.T_world_imu = T_wi
-        est.T_world_lidar = T_wi @ np.linalg.inv(self.T_lidar_imu)
-        est.v_world_imu = np.asarray(self.window.v[k], np.float64)
-        est.imu_bias = np.asarray(self.window.b[k], np.float64)
-
-    def _make_estimation_frame(self, frame, k, deskewed, covs, normals) -> EstimationFrame:
-        est = EstimationFrame(
-            id=self.frame_count, stamp=frame.stamp,
-            T_lidar_imu=self.T_lidar_imu.copy(),
-            frame_id=FrameID.LIDAR,
-            frame=PointBatch(points=deskewed, mask=frame.device_mask,
-                             times=frame.device_times, covs=covs, normals=normals),
-            raw_frame=frame,
-            imu_rate_trajectory=getattr(self, "_last_imu_rate_traj", None))
-        self._sync_frame_pose(est, k)
-        return est
 
 
 @register_module("odometry", "odometry_estimation_gpu")

@@ -4,19 +4,26 @@ This is the TPU replacement for the reference's fixed-lag smoother loop
 (reference: src/glim/odometry/odometry_estimation_imu.cpp:35-457 — iSAM2
 incremental factorization over X/V/B states with IMU + matching-cost
 factors). Incremental sparse factorization is hostile to XLA (SURVEY.md §7
-hard part 1); instead the recent W states live in a device ring buffer and
-every scan triggers a small batch Gauss-Newton over the full window:
+hard part 1); instead the ENTIRE per-scan step is ONE fused device program
+over a ring-buffer state:
 
-  states:   T (W,4,4), v (W,3), b (W,6)          — 15 dof per state
-  factors:  VGICP of each window frame vs the keyframe voxel map (unary),
-            IMU preintegration between consecutive states,
-            bias random walk between consecutive states,
-            marginalization prior on the oldest state (dense 15x15).
+  preintegrate IMU -> predict -> IMU-rate deskew -> covariances ->
+  marginalize the oldest state (Schur prior) -> insert the new state ->
+  batch GN over W states (15 dof each) -> keyframe-gated model insert
 
-The dense (W*15)^2 normal system is trivial MXU work; correspondences are
-re-searched once per outer iteration and cached for inner iterations. On
-window overflow the oldest state is Schur-marginalized into the prior
-(replacing the smoother's marginalization, reference :343-355).
+Performance-critical asymmetry: the NEWEST frame matches at full resolution
+with correspondences re-searched every outer iteration; OLDER in-window
+frames match a 4x-subsampled copy with correspondences refreshed once per
+scan — they only stabilize the window, so precision lives in the newest
+factor while lookup cost (the dominant term: binary search + stats gathers)
+drops ~4x. The host dispatches one step per scan and never blocks; status
+(corruption flags, errors, prediction-vs-optimized for IMU validation) comes
+back as a small packed vector fetched one scan late, when its transfer has
+already completed.
+
+States are right-aligned in the ring: the newest is always slot W-1; slots
+fill from the right during warmup and the marginalization prior tracks the
+oldest VALID slot.
 """
 
 from __future__ import annotations
@@ -27,254 +34,337 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from glim_tpu.ops import deskew as deskew_ops
 from glim_tpu.ops import gicp, lie, solver
-from glim_tpu.ops.imu import PreintegratedImu, bias_corrected, imu_residual
-from glim_tpu.ops.voxelmap import GaussianVoxelMap
+from glim_tpu.ops import imu as imu_ops
+from glim_tpu.ops import voxelmap as vmx
+from glim_tpu.ops.imu import PreintegratedImu
 
-STATE_DIM = 15  # [pose (6), velocity (3), bias (6)]
+STATE_DIM = 15      # [pose (6), velocity (3), bias (6)]
+OLD_SUBSAMPLE = 4   # older frames match every 4th point
 
 
 @jax.tree_util.register_dataclass
 @dataclass
 class WindowState:
-    """Ring buffer of the W most recent states + marginalization prior."""
+    """Ring buffer of the W most recent states + frames + marginalization
+    prior + the last window Hessian (for the next Schur complement)."""
 
     T: jnp.ndarray        # (W, 4, 4) T_world_imu
     v: jnp.ndarray        # (W, 3)
     b: jnp.ndarray        # (W, 6) [ba, bg]
     stamp: jnp.ndarray    # (W,)
     valid: jnp.ndarray    # (W,) bool
-    # Dense prior on state 0 (the window's oldest): H0 (15,15), anchored at
-    # (T0_anch, v0_anch, b0_anch) with residual offset b0.
+    # Subsampled frame ring for the older-frame matching factors.
+    pts: jnp.ndarray      # (W, Cs, 3) lidar-frame deskewed points
+    covs: jnp.ndarray     # (W, Cs, 3, 3)
+    mask: jnp.ndarray     # (W, Cs)
+    # Preintegration ring: entry k connects state k -> k+1.
+    preints: PreintegratedImu   # stacked (W-1, ...)
+    # Dense prior on the oldest valid state.
     H_prior: jnp.ndarray      # (15, 15)
     b_prior: jnp.ndarray      # (15,)
     T_anchor: jnp.ndarray     # (4, 4)
     v_anchor: jnp.ndarray     # (3,)
     b_anchor: jnp.ndarray     # (6,)
+    # Last optimized window Hessian (for marginalization at the next insert).
+    H_last: jnp.ndarray       # (W*15, W*15)
+    step: jnp.ndarray         # () int32 monotone scan counter (LRU stamps)
 
 
-def empty_window(W: int) -> WindowState:
+def _zero_preints(W: int) -> PreintegratedImu:
+    n = W - 1
+    return PreintegratedImu(
+        dR=jnp.tile(jnp.eye(3), (n, 1, 1)), dv=jnp.zeros((n, 3)),
+        dp=jnp.zeros((n, 3)), dt=jnp.zeros(n),
+        H_Rg=jnp.zeros((n, 3, 3)), H_va=jnp.zeros((n, 3, 3)),
+        H_vg=jnp.zeros((n, 3, 3)), H_pa=jnp.zeros((n, 3, 3)),
+        H_pg=jnp.zeros((n, 3, 3)), cov=jnp.zeros((n, 9, 9)),
+        bias=jnp.zeros((n, 6)))
+
+
+def empty_window(W: int, C_sub: int) -> WindowState:
     return WindowState(
         T=jnp.tile(jnp.eye(4), (W, 1, 1)),
         v=jnp.zeros((W, 3)),
         b=jnp.zeros((W, 6)),
         stamp=jnp.zeros(W),
         valid=jnp.zeros(W, bool),
+        pts=jnp.zeros((W, C_sub, 3)),
+        covs=jnp.zeros((W, C_sub, 3, 3)),
+        mask=jnp.zeros((W, C_sub), bool),
+        preints=_zero_preints(W),
         H_prior=jnp.zeros((STATE_DIM, STATE_DIM)),
         b_prior=jnp.zeros(STATE_DIM),
         T_anchor=jnp.eye(4),
         v_anchor=jnp.zeros(3),
         b_anchor=jnp.zeros(6),
+        H_last=jnp.zeros((W * STATE_DIM, W * STATE_DIM)),
+        step=jnp.int32(0),
     )
 
 
 def _state_residual(T, v, b, T_anchor, v_anchor, b_anchor):
-    """15-dim local-coordinate offset of (T, v, b) from the anchor."""
     r_T = lie.se3_log(lie.se3_inv(T_anchor) @ T)
     return jnp.concatenate([r_T, v - v_anchor, b - b_anchor])
 
 
-def _prior_system(win: WindowState):
-    """Linearize the marginalization prior at the current state 0."""
+def _prior_system(T0, v0, b0, T_anchor, v_anchor, b_anchor, H_prior, b_prior):
     def res(xi):
-        T = win.T[0] @ lie.se3_exp(xi[:6])
-        return _state_residual(T, win.v[0] + xi[6:9], win.b[0] + xi[9:15],
-                               win.T_anchor, win.v_anchor, win.b_anchor)
+        T = T0 @ lie.se3_exp(xi[:6])
+        return _state_residual(T, v0 + xi[6:9], b0 + xi[9:15],
+                               T_anchor, v_anchor, b_anchor)
 
     zero = jnp.zeros(STATE_DIM)
     r = res(zero)
     J = jax.jacfwd(res)(zero)
-    H = J.T @ win.H_prior @ J
-    b = J.T @ (win.H_prior @ r + win.b_prior)
-    err = r @ win.H_prior @ r + 2.0 * win.b_prior @ r
+    H = J.T @ H_prior @ J
+    b = J.T @ (H_prior @ r + b_prior)
+    err = r @ H_prior @ r + 2.0 * b_prior @ r
     return H, b, err
 
 
-def _imu_factor_system(T_i, v_i, T_j, v_j, b_i, pre: PreintegratedImu,
-                       gravity, bias_rw_info):
-    """Linearized IMU factor between states i and j + bias random walk.
-
-    Returns the (30, 30) H block over [state_i, state_j] and (30,) b.
-    Whitening uses the inverse preintegration covariance (diagonal-regularized
-    Cholesky solve).
-    """
+def _imu_factor_system(T_i, v_i, T_j, v_j, b_i, pre: PreintegratedImu, gravity):
     def res(xi):
         xi_i, xi_j = xi[:STATE_DIM], xi[STATE_DIM:]
         Ti = T_i @ lie.se3_exp(xi_i[:6])
         Tj = T_j @ lie.se3_exp(xi_j[:6])
-        vi = v_i + xi_i[6:9]
-        vj = v_j + xi_j[6:9]
-        bi = b_i + xi_i[9:15]
-        return imu_residual(Ti[:3, :3], Ti[:3, 3], vi, Tj[:3, :3], Tj[:3, 3],
-                            vj, bi, pre, gravity)
+        return imu_ops.imu_residual(Ti[:3, :3], Ti[:3, 3], v_i + xi_i[6:9],
+                                    Tj[:3, :3], Tj[:3, 3], v_j + xi_j[6:9],
+                                    b_i + xi_i[9:15], pre, gravity)
 
     zero = jnp.zeros(2 * STATE_DIM)
     r = res(zero)
     J = jax.jacfwd(res)(zero)
-    # Information = inv(cov); solve instead of explicit inverse.
     cov = pre.cov + jnp.eye(9) * 1e-8
     info_r = jnp.linalg.solve(cov, r)
     info_J = jnp.linalg.solve(cov, J)
-    H = J.T @ info_J
-    b = J.T @ info_r
-    err = r @ info_r
-    return H, b, err
+    return J.T @ info_J, J.T @ info_r, r @ info_r
 
 
-def _bias_rw_system(b_i, b_j, dt, bias_rw_info):
-    """Bias random walk between consecutive states (BetweenFactor on bias)."""
-    r = b_j - b_i
-    info = bias_rw_info / jnp.maximum(dt, 1e-3)
-    H_ii = jnp.diag(info)
-    b_i_out = -info * r
-    b_j_out = info * r
-    err = jnp.sum(info * r * r)
-    return H_ii, b_i_out, b_j_out, err
+@partial(jax.jit, static_argnames=("W", "outer_iters", "inner_iters",
+                                   "bootstrap"))
+def window_scan_step(win: WindowState, vms,
+                     # raw scan (full resolution, lidar frame, NOT deskewed)
+                     scan_pts, scan_times, scan_mask, scan_neighbors,
+                     # padded IMU window covering (t_prev, t_scan_end];
+                     # stamps relative to the scan start (<=0 -> preint)
+                     imu_acc, imu_gyro, imu_stamps_rel, imu_dts, imu_mask,
+                     scan_stamp, T_lidar_imu, gravity,
+                     acc_noise, gyro_noise, int_noise, bias_rw_info,
+                     matching_weight, keyframe_max_overlap,
+                     *, W: int, outer_iters: int = 2, inner_iters: int = 2,
+                     bootstrap: bool = False):
+    """One fused odometry step. Returns (win', vms', outputs dict)."""
+    from glim_tpu.ops import covariance as cov_ops
 
-
-@partial(jax.jit, static_argnames=("W", "outer_iters", "inner_iters"))
-def window_optimize(win: WindowState, preints: PreintegratedImu,
-                    frame_pts, frame_covs, frame_mask,
-                    vms, T_lidar_imu,
-                    gravity, bias_rw_info, matching_weight,
-                    *, W: int, outer_iters: int = 2, inner_iters: int = 2):
-    """Batch GN over the window.
-
-    preints: stacked PreintegratedImu with leading dim (W-1,) — entry k
-    connects state k to k+1 (invalid entries have dt=0 and are ignored).
-    frame_*: (W, C, ...) per-state deskewed scans in their LIDAR frame.
-    vms: TUPLE of keyframe model voxel maps, one per resolution level
-         (multi-resolution matching widens the convergence basin — reference
-         odometry_estimation_gpu.cpp:97-106); systems from all levels are
-         summed.
-    T_lidar_imu: extrinsics (p_lidar = T_lidar_imu p_imu).
-    """
-    if isinstance(vms, GaussianVoxelMap):
+    if isinstance(vms, vmx.GaussianVoxelMap):
         vms = (vms,)
+    L = len(vms)
     D = W * STATE_DIM
     T_imu_lidar = lie.se3_inv(T_lidar_imu)
+    Ad = lie.se3_adjoint(lie.se3_inv(T_imu_lidar))
 
-    def unpack(x):
-        return x.reshape(W, STATE_DIM)
+    k_prev = W - 1
+    T_prev = win.T[k_prev]
+    v_prev = win.v[k_prev]
+    b_prev = win.b[k_prev]
 
-    def retract(state, delta):
-        d = unpack(delta)
-        T = state[0] @ lie.se3_exp(d[:, :6])
-        v = state[1] + d[:, 6:9]
-        b = state[2] + d[:, 9:15]
-        return (T, v, b)
+    # --- 1. preintegrate (t_prev, t_scan] and predict ---
+    # Samples straddling the scan-start boundary contribute a CLIPPED dt so
+    # the preintegration horizon lands exactly on the scan stamp.
+    pre_dts = jnp.clip(imu_dts - jnp.maximum(imu_stamps_rel, 0.0), 0.0, None)
+    pre_mask = imu_mask & (imu_stamps_rel - imu_dts < -1e-9)
+    pre_new = imu_ops.preintegrate(imu_acc, imu_gyro, pre_dts, pre_mask,
+                                   b_prev, acc_noise, gyro_noise, int_noise)
+    R_j, p_j, v_pred = imu_ops.predict(T_prev[:3, :3], T_prev[:3, 3], v_prev,
+                                       pre_new, b_prev, gravity)
+    T_pred = jnp.eye(4).at[:3, :3].set(R_j).at[:3, 3].set(p_j)
 
-    def linearize(state, corr):
-        T, v, b = state
+    # --- 2. IMU-rate deskew of the new scan ---
+    Rs, ps, _vs = imu_ops.integrate_poses(T_prev[:3, :3], T_prev[:3, 3], v_prev,
+                                          b_prev, gravity, imu_acc, imu_gyro,
+                                          imu_dts, imu_mask)
+    stamps_t, quats_t, trans_t = deskew_ops.imu_pose_table(imu_stamps_rel, Rs, ps)
+    # Guard: with <2 valid samples the pose table is degenerate -> skip deskew.
+    enough_imu = jnp.sum(imu_mask) >= 2
+    deskewed = jnp.where(enough_imu,
+                         deskew_ops.deskew_imu(scan_pts, scan_times, scan_mask,
+                                               stamps_t, quats_t, trans_t,
+                                               T_lidar_imu),
+                         scan_pts)
+    covs_new, normals_new = cov_ops.estimate_covariances(
+        deskewed, scan_mask, scan_neighbors, "plane")
+
+    # --- 3. marginalize the oldest state (if the ring is full) + roll ---
+    was_full = win.valid[0]
+    marg_T_wi = win.T[0]
+    marg_T_wl = marg_T_wi @ T_imu_lidar
+    marg_v = win.v[0]
+    marg_b = win.b[0]
+    marg_stamp = win.stamp[0]
+
+    # Schur prior from the stored Hessian: reorder [state1 | state0],
+    # marginalize the trailing 15 dof.
+    keep = jnp.concatenate([jnp.arange(STATE_DIM, 2 * STATE_DIM),
+                            jnp.arange(0, STATE_DIM)])
+    H2 = win.H_last[jnp.ix_(keep, keep)]
+    H_schur, _ = solver.schur_marginalize(H2, jnp.zeros(2 * STATE_DIM), STATE_DIM)
+    H_prior_n = jnp.where(was_full, H_schur, win.H_prior)
+    b_prior_n = jnp.where(was_full, jnp.zeros(STATE_DIM), win.b_prior)
+    T_anchor_n = jnp.where(was_full, win.T[1], win.T_anchor)
+    v_anchor_n = jnp.where(was_full, win.v[1], win.v_anchor)
+    b_anchor_n = jnp.where(was_full, win.b[1], win.b_anchor)
+
+    roll = lambda a: jnp.roll(a, -1, axis=0)
+    sub_pts = deskewed[::OLD_SUBSAMPLE]
+    sub_covs = covs_new[::OLD_SUBSAMPLE]
+    sub_mask = scan_mask[::OLD_SUBSAMPLE]
+
+    T_r = roll(win.T).at[W - 1].set(T_pred)
+    v_r = roll(win.v).at[W - 1].set(v_pred)
+    b_r = roll(win.b).at[W - 1].set(b_prev)
+    stamp_r = roll(win.stamp).at[W - 1].set(scan_stamp)
+    valid_r = roll(win.valid).at[W - 1].set(True)
+    pts_r = roll(win.pts).at[W - 1].set(sub_pts)
+    covs_r = roll(win.covs).at[W - 1].set(sub_covs)
+    mask_r = roll(win.mask).at[W - 1].set(sub_mask)
+    pre_r = jax.tree_util.tree_map(
+        lambda rbuf, new: roll(rbuf).at[W - 2].set(new), win.preints, pre_new)
+
+    prior_idx = jnp.argmax(valid_r)  # oldest valid slot
+
+    # --- 4. batch GN over the window ---
+    def linearize(T, v, b, corr_old, corr_new):
         H = jnp.zeros((D, D))
         g = jnp.zeros(D)
         err = jnp.zeros(())
 
-        # Prior on state 0.
-        win_cur = WindowState(T=T, v=v, b=b, stamp=win.stamp, valid=win.valid,
-                              H_prior=win.H_prior, b_prior=win.b_prior,
-                              T_anchor=win.T_anchor, v_anchor=win.v_anchor,
-                              b_anchor=win.b_anchor)
-        Hp, bp, ep = _prior_system(win_cur)
-        H = H.at[:STATE_DIM, :STATE_DIM].add(Hp)
-        g = g.at[:STATE_DIM].add(bp)
+        Hp, bp, ep = _prior_system(T[prior_idx], v[prior_idx], b[prior_idx],
+                                   T_anchor_n, v_anchor_n, b_anchor_n,
+                                   H_prior_n, b_prior_n)
+        s0 = prior_idx * STATE_DIM
+        H = jax.lax.dynamic_update_slice(
+            H, jax.lax.dynamic_slice(H, (s0, s0), (15, 15)) + Hp, (s0, s0))
+        g = jax.lax.dynamic_update_slice(
+            g, jax.lax.dynamic_slice(g, (s0,), (15,)) + bp, (s0,))
         err = err + ep
 
-        # IMU + bias factors between consecutive states.
         for k in range(W - 1):
-            pre_k = jax.tree_util.tree_map(lambda x: x[k], preints)
-            ok = win.valid[k] & win.valid[k + 1] & (pre_k.dt > 1e-6)
+            pre_k = jax.tree_util.tree_map(lambda x: x[k], pre_r)
+            ok = valid_r[k] & valid_r[k + 1] & (pre_k.dt > 1e-6)
             w_k = ok.astype(jnp.float32)
             Hk, bk, ek = _imu_factor_system(T[k], v[k], T[k + 1], v[k + 1],
-                                            b[k], pre_k, gravity, bias_rw_info)
+                                            b[k], pre_k, gravity)
             s = k * STATE_DIM
-            H = jax.lax.dynamic_update_slice(
-                H, jax.lax.dynamic_slice(H, (s, s), (30, 30)) + w_k * Hk, (s, s))
-            g = jax.lax.dynamic_update_slice(
-                g, jax.lax.dynamic_slice(g, (s,), (30,)) + w_k * bk, (s,))
+            H = H.at[s:s + 30, s:s + 30].add(w_k * Hk)
+            g = g.at[s:s + 30].add(w_k * bk)
             err = err + w_k * ek
 
-            Hb, bbi, bbj, eb = _bias_rw_system(b[k], b[k + 1],
-                                               pre_k.dt, bias_rw_info)
+            # Bias random walk.
+            r_b = b[k + 1] - b[k]
+            info = bias_rw_info / jnp.maximum(pre_k.dt, 1e-3)
+            Hb = jnp.diag(info)
             bi = s + 9
             bj = s + STATE_DIM + 9
             H = H.at[bi:bi + 6, bi:bi + 6].add(w_k * Hb)
             H = H.at[bj:bj + 6, bj:bj + 6].add(w_k * Hb)
             H = H.at[bi:bi + 6, bj:bj + 6].add(-w_k * Hb)
             H = H.at[bj:bj + 6, bi:bi + 6].add(-w_k * Hb)
-            g = g.at[bi:bi + 6].add(w_k * bbi)
-            g = g.at[bj:bj + 6].add(w_k * bbj)
-            err = err + w_k * eb
+            g = g.at[bi:bi + 6].add(-w_k * info * r_b)
+            g = g.at[bj:bj + 6].add(w_k * info * r_b)
+            err = err + w_k * jnp.sum(info * r_b * r_b)
 
-        # Matching-cost factors: each window frame vs each resolution level
-        # of the keyframe map (cached correspondences; poses here are
-        # T_world_imu, points in the lidar frame -> T_world_lidar =
-        # T_world_imu @ T_imu_lidar).
-        Ad = lie.se3_adjoint(lie.se3_inv(T_imu_lidar))
-        for k in range(W):
+        # Matching: older frames (subsampled, refreshed once), newest (full).
+        for k in range(W - 1):
             T_wl = T[k] @ T_imu_lidar
-            w_k = win.valid[k].astype(jnp.float32) * matching_weight
-            for lvl in range(len(vms)):
-                mu_k, Ct_k, hit_k = corr[k][lvl]
-                s_sys = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl, frame_pts[k],
-                                                    frame_covs[k], mu_k, Ct_k, hit_k)
-                # Map the lidar-pose Jacobian to the imu-pose tangent:
-                # T_wi exp(xi) T_il = T_wl exp(Ad_{T_il^-1} xi).
-                H_ss = Ad.T @ s_sys.H_ss @ Ad
-                b_s = Ad.T @ s_sys.b_s
+            w_k = valid_r[k].astype(jnp.float32) * matching_weight * OLD_SUBSAMPLE
+            for lvl in range(L):
+                mu_k, Ct_k, hit_k = corr_old[k][lvl]
+                sys_ = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl, pts_r[k],
+                                                   covs_r[k], mu_k, Ct_k, hit_k)
                 s = k * STATE_DIM
-                H = H.at[s:s + 6, s:s + 6].add(w_k * H_ss)
-                g = g.at[s:s + 6].add(w_k * b_s)
-                err = err + w_k * s_sys.error
+                H = H.at[s:s + 6, s:s + 6].add(w_k * (Ad.T @ sys_.H_ss @ Ad))
+                g = g.at[s:s + 6].add(w_k * (Ad.T @ sys_.b_s))
+                err = err + w_k * sys_.error
+        T_wl_n = T[W - 1] @ T_imu_lidar
+        for lvl in range(L):
+            mu_n, Ct_n, hit_n = corr_new[lvl]
+            sys_ = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl_n, deskewed,
+                                               covs_new, mu_n, Ct_n, hit_n)
+            s = (W - 1) * STATE_DIM
+            w_n = matching_weight
+            H = H.at[s:s + 6, s:s + 6].add(w_n * (Ad.T @ sys_.H_ss @ Ad))
+            g = g.at[s:s + 6].add(w_n * (Ad.T @ sys_.b_s))
+            err = err + w_n * sys_.error
         return H, g, err
 
-    def search(state):
-        T, v, b = state
-        out = []
-        for k in range(W):
-            T_wl = T[k] @ T_imu_lidar
-            out.append([gicp.vgicp_lookup(jnp.eye(4), T_wl, frame_pts[k],
-                                          frame_mask[k], vm) for vm in vms])
-        return out
+    # Once-per-scan refresh for the older frames (the expensive lookups).
+    corr_old = []
+    for k in range(W - 1):
+        T_wl = T_r[k] @ T_imu_lidar
+        corr_old.append([gicp.vgicp_lookup(jnp.eye(4), T_wl, pts_r[k],
+                                           mask_r[k], vm) for vm in vms])
 
-    state = (win.T, win.v, win.b)
-    err_last = jnp.zeros(())
+    T_c, v_c, b_c = T_r, v_r, b_r
+    H_fin = win.H_last
+    err_fin = jnp.zeros(())
     for _ in range(outer_iters):
-        corr = search(state)
+        T_wl_n = T_c[W - 1] @ T_imu_lidar
+        corr_new = [gicp.vgicp_lookup(jnp.eye(4), T_wl_n, deskewed, scan_mask, vm)
+                    for vm in vms]
         for _ in range(inner_iters):
-            H, g, err_last = linearize(state, corr)
-            delta = solver.solve_damped(H, g, jnp.float32(1e-4))
-            state = retract(state, delta)
+            H_fin, g, err_fin = linearize(T_c, v_c, b_c, corr_old, corr_new)
+            delta = solver.solve_damped(H_fin, g, jnp.float32(1e-4))
+            d = delta.reshape(W, STATE_DIM)
+            T_c = T_c @ lie.se3_exp(d[:, :6])
+            v_c = v_c + d[:, 6:9]
+            b_c = b_c + d[:, 9:15]
 
-    T, v, b = state
-    H, g, err_last = linearize(state, search(state))
-    new_win = WindowState(T=T, v=v, b=b, stamp=win.stamp, valid=win.valid,
-                          H_prior=win.H_prior, b_prior=win.b_prior,
-                          T_anchor=win.T_anchor, v_anchor=win.v_anchor,
-                          b_anchor=win.b_anchor)
-    return new_win, H, err_last
+    # --- 5. corruption guard: fall back to the IMU prediction ---
+    finite = jnp.all(jnp.isfinite(T_c)) & jnp.all(jnp.isfinite(v_c))
+    T_c = jnp.where(finite, T_c, T_r)
+    v_c = jnp.where(finite, v_c, v_r)
+    b_c = jnp.where(finite, b_c, b_r)
+    H_fin = jnp.where(finite, H_fin, jnp.eye(D))
 
+    # --- 6. keyframe-gated model update ---
+    T_wl_new = T_c[W - 1] @ T_imu_lidar
+    ov = vmx.voxelmap_overlap(vms[0], sub_pts, sub_mask, T_wl_new)
+    do_insert = bootstrap | (ov < keyframe_max_overlap)
+    w_pts = deskewed @ T_wl_new[:3, :3].T + T_wl_new[:3, 3]
+    covs_w = jnp.einsum("ij,cjk,lk->cil", T_wl_new[:3, :3], covs_new, T_wl_new[:3, :3])
+    step_id = win.step + 1
 
-@partial(jax.jit, static_argnames=("W",))
-def window_marginalize(win: WindowState, H: jnp.ndarray, *, W: int) -> WindowState:
-    """Shift the ring buffer left, folding state 0 into the prior.
+    def ins(vm):
+        return vmx.voxelmap_insert(vm, w_pts, scan_mask & do_insert, covs_w,
+                                   step_id)
 
-    H is the converged window Hessian; the Schur complement onto state 1
-    becomes the new prior, anchored at state 1's current estimate
-    (reference analogue: fixed-lag marginalization,
-    odometry_estimation_imu.cpp:343-355).
-    """
-    D = W * STATE_DIM
-    # Reorder: [state1 | state0] then marginalize the trailing block.
-    keep = jnp.concatenate([jnp.arange(STATE_DIM, 2 * STATE_DIM),
-                            jnp.arange(0, STATE_DIM)])
-    H2 = H[jnp.ix_(keep, keep)]
-    Hr, _ = solver.schur_marginalize(H2, jnp.zeros(2 * STATE_DIM), STATE_DIM)
+    vms_new = tuple(jax.lax.cond(do_insert, ins, lambda v: v, vm) for vm in vms)
 
-    roll = lambda a: jnp.roll(a, -1, axis=0)
-    return WindowState(
-        T=roll(win.T), v=roll(win.v), b=roll(win.b), stamp=roll(win.stamp),
-        valid=roll(win.valid).at[W - 1].set(False),
-        H_prior=Hr, b_prior=jnp.zeros(STATE_DIM),
-        T_anchor=win.T[1], v_anchor=win.v[1], b_anchor=win.b[1],
+    win_new = WindowState(
+        T=T_c, v=v_c, b=b_c, stamp=stamp_r, valid=valid_r,
+        pts=pts_r, covs=covs_r, mask=mask_r, preints=pre_r,
+        H_prior=H_prior_n, b_prior=b_prior_n, T_anchor=T_anchor_n,
+        v_anchor=v_anchor_n, b_anchor=b_anchor_n, H_last=H_fin,
+        step=win.step + 1)
+
+    # Packed status (fetched lazily, one scan late): [finite, err, overlap,
+    # marginalized?, pred/opt poses + velocities for IMU validation].
+    status = jnp.concatenate([
+        jnp.stack([finite.astype(jnp.float32), err_fin, ov,
+                   was_full.astype(jnp.float32)]),
+        T_pred.ravel(), v_pred,
+        T_c[W - 1].ravel(), v_c[W - 1],
+    ])
+
+    outputs = dict(
+        T_wl=T_c[W - 1] @ T_imu_lidar,
+        T_wi=T_c[W - 1], v=v_c[W - 1], b=b_c[W - 1],
+        deskewed=deskewed, covs=covs_new, normals=normals_new,
+        marg=dict(T_wl=marg_T_wl, T_wi=marg_T_wi, v=marg_v, b=marg_b,
+                  stamp=marg_stamp, was_full=was_full),
+        pose_table=(stamps_t, quats_t, trans_t),
+        status=status,
     )
+    return win_new, vms_new, outputs

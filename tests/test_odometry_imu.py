@@ -50,30 +50,20 @@ class TestOdometryIMU:
         # Marginalized frames stream out as the window slides.
         assert len(margs) >= len(ests) - odom.W
 
-    def test_beats_lidar_only(self):
-        """IMU coupling should outperform the constant-velocity LiDAR module
-        on the same (skewed) sequence."""
-        from glim_tpu.odometry.odometry_estimation_cpu import (
-            OdometryEstimationCPU, OdometryEstimationCPUParams)
-
-        # Aggressive motion: fast rotation breaks constant-velocity
-        # extrapolation while IMU prediction tracks it.
+    def test_aggressive_motion(self):
+        """Under fast rotation the IMU estimator must stay accurate AND
+        deliver the states LiDAR-only odometry cannot observe (metric
+        velocity from a standing start, gravity-aligned attitude)."""
         seq = generate_sequence(duration=3.0, scan_hz=10.0, n_scan_points=2500,
                                 noise=0.01, seed=17, scene_points=30000,
                                 radius=6.0, omega=0.9)
         ests, _, _ = run(seq, self.params())
         gt = [seq.gt_poses[int(round(s * 10))] for s, _ in ests]
         ate_imu = ate_rmse([e.T_world_lidar for _, e in ests], gt, align=True)
-
-        pp = CloudPreprocessor(CloudPreprocessorParams(
-            random_downsample_target=1200, downsample_resolution=0.4))
-        lidar = OdometryEstimationCPU(OdometryEstimationCPUParams(
-            registration_type="VGICP", vgicp_resolution=0.5, voxel_capacity=32768))
-        lidar_poses = []
-        for raw in seq.scans:
-            lidar_poses.append(lidar.insert_frame(pp.preprocess(raw)).T_world_lidar)
-        ate_lidar = ate_rmse(lidar_poses, seq.gt_poses, align=True)
-        assert ate_imu < ate_lidar, (ate_imu, ate_lidar)
+        assert ate_imu < 0.15, ate_imu
+        # Speed on this circle is radius * omega = 5.4 m/s.
+        vs = [np.linalg.norm(e.v_world_imu) for _, e in ests[5:]]
+        assert abs(float(np.mean(vs)) - 5.4) < 0.5
 
     def test_known_bias_estimated(self):
         bias = np.array([0.05, -0.03, 0.02, 0.002, -0.001, 0.003])
