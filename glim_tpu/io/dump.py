@@ -211,6 +211,11 @@ def save_dump(path: str, submaps: List[SubMap], poses: List[np.ndarray],
 
 def load_dump(path: str):
     """Load a dump directory: (submaps, poses, factors dict or None)."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"dump directory not found: {path}")
+    if not os.path.isdir(os.path.join(path, "000000")) and \
+            not os.path.exists(os.path.join(path, "graph.txt")):
+        raise FileNotFoundError(f"not a glim_tpu dump (no graph.txt / submaps): {path}")
     submaps = []
     i = 0
     while os.path.isdir(os.path.join(path, f"{i:06d}")):

@@ -185,7 +185,11 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             jnp.asarray(GRAVITY, jnp.float32),
             jnp.float32(p.imu_acc_noise), jnp.float32(p.imu_gyro_noise),
             jnp.float32(p.imu_int_noise),
-            jnp.full(6, 1.0 / max(p.imu_bias_noise, 1e-8), jnp.float32),
+            # Bias random-walk stiffness: the density-exact 1/sigma^2 walk
+            # freezes initialization errors in a short window (the reference
+            # amortizes them over a 5 s / ~50-state smoother lag); 1/sqrt(s)
+            # keeps the walk tight while letting the window absorb init error.
+            jnp.full(6, 1.0 / max(np.sqrt(p.imu_bias_noise), 1e-6), jnp.float32),
             jnp.float32(p.matching_weight), jnp.float32(p.keyframe_max_overlap),
             W=self.W, outer_iters=p.outer_iterations,
             inner_iters=p.inner_iterations, bootstrap=bootstrap)
@@ -200,6 +204,8 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             marg_est._T_world_imu = None
             marg_est.device_v_world_imu = out["marg"]["v"]
             marg_est._v_world_imu = None
+            marg_est.device_imu_bias = out["marg"]["b"]
+            marg_est._imu_bias = None
             CB.on_marginalized_frames([marg_est])
             if marginalized is not None:
                 marginalized.append(marg_est)
@@ -209,12 +215,12 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             T_lidar_imu=self.T_lidar_imu.copy(),
             device_T_world_lidar=out["T_wl"],
             device_v_world_imu=out["v"],
+            device_imu_bias=out["b"],
             frame_id=FrameID.LIDAR,
             frame=PointBatch(points=out["deskewed"], mask=frame.device_mask,
                              times=frame.device_times, covs=out["covs"],
                              normals=out["normals"]),
             raw_frame=frame)
-        est.custom_data["device_bias"] = out["b"]
         if p.save_imu_rate_trajectory:
             stamps_t, quats_t, trans_t = out["pose_table"]
             q_np = np.asarray(quats_t)

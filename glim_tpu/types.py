@@ -189,6 +189,7 @@ class EstimationFrame:
                  v_world_imu: Optional[np.ndarray] = None,
                  device_v_world_imu=None,
                  imu_bias: Optional[np.ndarray] = None,
+                 device_imu_bias=None,
                  imu_rate_trajectory: Optional[np.ndarray] = None,
                  cov_pose: Optional[np.ndarray] = None,
                  cov_velocity: Optional[np.ndarray] = None,
@@ -206,7 +207,8 @@ class EstimationFrame:
         self.device_T_world_lidar = device_T_world_lidar
         self._v_world_imu = v_world_imu
         self.device_v_world_imu = device_v_world_imu
-        self.imu_bias = np.zeros(6) if imu_bias is None else imu_bias
+        self._imu_bias = imu_bias
+        self.device_imu_bias = device_imu_bias
         self.imu_rate_trajectory = imu_rate_trajectory
         self.cov_pose = cov_pose
         self.cov_velocity = cov_velocity
@@ -241,6 +243,19 @@ class EstimationFrame:
     @T_world_imu.setter
     def T_world_imu(self, T) -> None:
         self._T_world_imu = np.asarray(T, np.float64)
+
+    @property
+    def imu_bias(self) -> np.ndarray:
+        if self._imu_bias is None:
+            if self.device_imu_bias is not None:
+                self._imu_bias = np.asarray(self.device_imu_bias, np.float64)
+            else:
+                self._imu_bias = np.zeros(6)
+        return self._imu_bias
+
+    @imu_bias.setter
+    def imu_bias(self, b) -> None:
+        self._imu_bias = np.asarray(b, np.float64)
 
     @property
     def v_world_imu(self) -> np.ndarray:
