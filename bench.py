@@ -111,7 +111,10 @@ def bench_imu_pipeline():
 
     frames = []
     imu_idx = 0
-    n_warm = 8
+    # Warmup must cover LOOSE init (~5 scans), the bootstrap-variant frames
+    # AND the first non-bootstrap frame (a separate compiled program whose
+    # cache load alone can take tens of seconds on tunneled setups).
+    n_warm = 16
 
     def feed(raw):
         nonlocal imu_idx
@@ -125,7 +128,8 @@ def bench_imu_pipeline():
 
     for raw in seq.scans[:n_warm]:
         feed(raw)
-    _ = [e.T_world_lidar for _, e in frames]
+    import jax
+    jax.block_until_ready(odom.window.T)
 
     t0 = time.perf_counter()
     for raw in seq.scans[n_warm:]:
