@@ -91,8 +91,20 @@ class GlobalMapping(GlobalMappingBase):
         self.matching_factors: List[Tuple[int, int]] = []
         # Fixed between factors: (i, j, Z, sqrt_info_diag).
         self.between_factors: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
+        # IMU endpoint-chain factors (reference :168-219): entry k connects
+        # submap k's right endpoint to submap k+1's left endpoint through a
+        # preintegrated IMU measurement + junction velocity/bias states.
+        self.imu_factors: List[dict] = []
+        self.junction_states: List[np.ndarray] = []   # (12,) [v_R, v_L, bias]
+        self._imu_buffer: List[np.ndarray] = []
 
     # -- insertion --
+
+    def insert_imu(self, stamp, linear_acc, angular_vel) -> None:
+        CB.on_insert_imu(stamp, linear_acc, angular_vel)
+        if self.params.enable_imu:
+            self._imu_buffer.append(np.concatenate([[stamp], linear_acc,
+                                                    angular_vel]))
 
     def insert_submap(self, submap: SubMap) -> None:
         CB.on_insert_submap(submap)
@@ -118,8 +130,79 @@ class GlobalMapping(GlobalMappingBase):
         self.voxelmaps.append(self._build_voxelmap(submap))
 
         self._create_matching_cost_factors(i)
+        if p.enable_imu and i > 0:
+            self._create_imu_factor(i - 1, i)
         if p.enable_optimization:
             self.optimize()
+
+    def _create_imu_factor(self, i: int, j: int) -> None:
+        """Preintegrate the IMU between submap i's right and submap j's left
+        endpoint and add the endpoint-chain factor (reference :168-219: the
+        E/V/B endpoint states that keep consecutive submaps gravity- and
+        velocity-consistent through global optimization)."""
+        sm_i, sm_j = self.submaps[i], self.submaps[j]
+        if not (sm_i.frames and sm_j.frames):
+            return
+        fr_R = sm_i.frames[-1]
+        fr_L = sm_j.frames[0]
+        t0, t1 = fr_R.stamp, fr_L.stamp
+        rows = np.stack([r for r in self._imu_buffer if t0 < r[0] <= t1 + 1e-9]) \
+            if self._imu_buffer else np.zeros((0, 7))
+        self._imu_buffer = [r for r in self._imu_buffer if r[0] > t0 - 1.0]
+        if len(rows) < 2 or (t1 - t0) > 5.0:
+            return
+        from glim_tpu.common.imu_integration import IMUIntegration
+        integ = IMUIntegration()
+        for r in rows:
+            integ.insert_imu(r[0], r[1:4], r[4:7])
+        bias0 = np.asarray(fr_R.imu_bias, np.float64)
+        pre, n = integ.integrate_imu(t0, t1, bias0)
+        if n < 2:
+            return
+        # Endpoint offsets relative to the submap origins (world pose of the
+        # endpoint = submap_pose @ A).
+        A_R = np.linalg.inv(np.asarray(sm_i.T_world_origin)) @ fr_R.T_world_imu
+        A_L = np.linalg.inv(np.asarray(sm_j.T_world_origin)) @ fr_L.T_world_imu
+        self.imu_factors.append(dict(i=i, j=j, pre=pre,
+                                     A_R=A_R.astype(np.float32),
+                                     A_L=A_L.astype(np.float32),
+                                     junction=len(self.junction_states)))
+        v0 = np.asarray(fr_R.v_world_imu, np.float64)
+        v1 = np.asarray(fr_L.v_world_imu, np.float64)
+        self.junction_states.append(np.concatenate([v0, v1, bias0]))
+        logger.info("IMU endpoint factor %d -> %d (%d samples, dt %.2fs)",
+                    i, j, n, t1 - t0)
+
+    def _imu_factor_system(self, fac: dict, T_i, T_j, junc):
+        """Linearize one endpoint-chain factor. Returns (H (21,21), b (21),
+        err) over [xi_i (6), xi_j (6), d_junction (9: v_R, v_L... bias handled
+        inside as 6 more -> total dof = 6+6+12 = 24)]."""
+        import jax
+        from glim_tpu.ops import imu as imu_ops
+        from glim_tpu.ops import lie as lie_dev
+        A_R = jnp.asarray(fac["A_R"])
+        A_L = jnp.asarray(fac["A_L"])
+        pre = fac["pre"]
+        grav = jnp.asarray([0.0, 0.0, -9.80665], jnp.float32)
+
+        def res(x):
+            xi_i, xi_j = x[:6], x[6:12]
+            v_R = junc[:3] + x[12:15]
+            v_L = junc[3:6] + x[15:18]
+            bias = junc[6:12] + x[18:24]
+            T_R = (T_i @ lie_dev.se3_exp(xi_i)) @ A_R
+            T_L = (T_j @ lie_dev.se3_exp(xi_j)) @ A_L
+            return imu_ops.imu_residual(T_R[:3, :3], T_R[:3, 3], v_R,
+                                        T_L[:3, :3], T_L[:3, 3], v_L,
+                                        bias, pre, grav)
+
+        zero = jnp.zeros(24)
+        r = res(zero)
+        J = jax.jacfwd(res)(zero)
+        cov = pre.cov + jnp.eye(9) * 1e-6
+        info_r = jnp.linalg.solve(cov, r)
+        info_J = jnp.linalg.solve(cov, J)
+        return J.T @ info_J, J.T @ info_r, r @ info_r
 
     def _build_voxelmap(self, submap: SubMap) -> vmx.GaussianVoxelMap:
         p = self.params
@@ -220,22 +303,54 @@ class GlobalMapping(GlobalMappingBase):
         if N < 2:
             return
         CB.on_smoother_update(self, None, None)
+        J = len(self.junction_states)
+        Dp = N * 6
 
         def linearize(x):
-            return self._linearize_all(x)
+            poses, junc = x
+            H, b, err = self._linearize_all(poses)
+            if J:
+                # Extend with the junction-state block and IMU factors.
+                D = Dp + J * 12
+                H_ext = jnp.zeros((D, D)).at[:Dp, :Dp].set(H)
+                b_ext = jnp.zeros(D).at[:Dp].set(b)
+                H_ext = H_ext.at[Dp:, Dp:].add(jnp.eye(J * 12) * 1e-4)
+                for fac in self.imu_factors:
+                    i, jj, jn = fac["i"], fac["j"], fac["junction"]
+                    Hf, bf, ef = self._imu_factor_system(
+                        fac, poses[i], poses[jj], junc[jn])
+                    # dof order inside Hf: [xi_i(0:6), xi_j(6:12), junc(12:24)]
+                    sl = [jnp.arange(i * 6, i * 6 + 6),
+                          jnp.arange(jj * 6, jj * 6 + 6),
+                          jnp.arange(Dp + jn * 12, Dp + jn * 12 + 12)]
+                    idx = jnp.concatenate(sl)
+                    H_ext = H_ext.at[jnp.ix_(idx, idx)].add(Hf)
+                    b_ext = b_ext.at[idx].add(bf)
+                    err = err + ef
+                return H_ext, b_ext, err
+            return H, b, err
 
         def retract(x, delta):
-            return x @ lie.se3_exp(delta.reshape(N, 6))
+            poses, junc = x
+            poses = poses @ lie.se3_exp(delta[:Dp].reshape(N, 6))
+            if J:
+                junc = junc + delta[Dp:].reshape(J, 12)
+            return (poses, junc)
 
-        x0 = jnp.asarray(np.stack(self.poses), jnp.float32)
+        x0 = (jnp.asarray(np.stack(self.poses), jnp.float32),
+              jnp.asarray(np.stack(self.junction_states), jnp.float32)
+              if J else jnp.zeros((0, 12), jnp.float32))
         res = solver.lm_optimize(linearize, retract, x0,
                                  solver.TerminationCriteria(max_iterations=p.lm_iterations))
         CB.on_smoother_update_result(self, res)
 
-        new_poses = np.asarray(res.x, np.float64)
+        new_poses = np.asarray(res.x[0], np.float64)
         for k in range(N):
             self.poses[k] = _orthonormalize(new_poses[k])
             self.submaps[k].T_world_origin = self.poses[k].copy()
+        if J:
+            juncs = np.asarray(res.x[1], np.float64)
+            self.junction_states = [juncs[k] for k in range(J)]
         CB.on_update_submaps(self.submaps)
 
     def find_overlapping_submaps(self, min_overlap: float) -> None:

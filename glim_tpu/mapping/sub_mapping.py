@@ -100,6 +100,7 @@ class SubMapping(SubMappingBase):
         self.params = params or SubMappingParams()
         self.submap_count = 0
         self.odom_frames: List[EstimationFrame] = []
+        self.frames: List[EstimationFrame] = []     # every frame in the submap
         self.keyframes: List[EstimationFrame] = []
         self.submap_queue: List[SubMap] = []
         self._kf_voxelmap = None
@@ -112,6 +113,10 @@ class SubMapping(SubMappingBase):
         CB.on_insert_frame(frame)
         p = self.params
         self.odom_frames.append(frame.clone_wo_points())
+        # Reference semantics: submap.frames holds EVERY scan of the submap
+        # (the optimized per-scan trajectory feeding traj_lidar.txt), not
+        # just the keyframes (reference: sub_mapping.cpp:183-243).
+        self.frames.append(frame.clone_wo_points())
 
         if self._should_insert_keyframe(frame):
             self._insert_keyframe(frame)
@@ -248,21 +253,29 @@ class SubMapping(SubMappingBase):
                                          jnp.float32(p.submap_downsample_resolution),
                                          k_max=k_max, out_cap=out_cap)
 
+        # Endpoints span the FULL frame set (reference: sub_map.hpp endpoint
+        # geometry over frames.front()/back()).
+        all_frames = self.frames if self.frames else self.keyframes
+        T_first = all_frames[0].T_world_sensor()
+        T_last = all_frames[-1].T_world_sensor()
         submap = SubMap(
             id=self.submap_count,
             T_world_origin=T_world_origin,
-            T_origin_endpoint_L=T_origin_world @ poses[0],
-            T_origin_endpoint_R=T_origin_world @ poses[-1],
+            T_origin_endpoint_L=T_origin_world @ T_first,
+            T_origin_endpoint_R=T_origin_world @ T_last,
             frame=PointBatch(points=m_pts, mask=m_mask),
-            frames=[kf.clone_wo_points() for kf in self.keyframes],
+            frames=all_frames,
             odom_frames=self.odom_frames,
         )
-        # Refined poses onto the stored keyframe clones.
-        for kf_clone, T in zip(submap.frames, poses):
-            kf_clone.set_T_world_sensor(T)
+        # Refined keyframe poses onto the corresponding stored frames.
+        kf_ids = {kf.id: T for kf, T in zip(self.keyframes, poses)}
+        for fr in submap.frames:
+            if fr.id in kf_ids:
+                fr.set_T_world_sensor(kf_ids[fr.id])
 
         self.submap_count += 1
         self.keyframes = []
+        self.frames = []
         self.odom_frames = []
         self._kf_voxelmap = None
         self.submap_queue.append(submap)
