@@ -8,7 +8,6 @@ IMU-pose-interpolation modes. Device kernels live in glim_tpu.ops.deskew.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from glim_tpu.ops import deskew as deskew_ops
 from glim_tpu.ops.lie import rot_to_quat

@@ -9,7 +9,7 @@ deskewing, and find/erase bookkeeping. Device math lives in glim_tpu.ops.imu.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,8 @@ symptom of wrong extrinsics, bad time sync, or miscalibrated noise.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 

@@ -19,7 +19,7 @@ merge live in glim_tpu.io.dump.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ import numpy as np
 from glim_tpu.mapping.callbacks import GlobalMappingCallbacks as CB
 from glim_tpu.mapping.global_mapping_base import GlobalMappingBase
 from glim_tpu.ops import factors as fct
-from glim_tpu.ops import gicp, lie, lie_np, solver
+from glim_tpu.ops import gicp, lie, solver
 from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.types import SubMap
 from glim_tpu.utils.logging import create_module_logger

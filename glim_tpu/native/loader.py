@@ -15,7 +15,10 @@ from glim_tpu.utils.logging import create_module_logger
 logger = create_module_logger("native")
 
 _SRC = os.path.join(os.path.dirname(__file__), "pack.cpp")
-_LIB = os.path.join(os.path.dirname(__file__), "_libglim_native.so")
+# Built OUTSIDE the package dir: a bare .so inside it would look like a
+# CPython extension module to import machinery.
+_LIB = os.path.join(os.path.expanduser("~/.cache/glim_tpu_native"),
+                    "libglim_native.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -26,6 +29,7 @@ def _build() -> bool:
         if (os.path.exists(_LIB)
                 and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
             return True
+        os.makedirs(os.path.dirname(_LIB), exist_ok=True)
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True

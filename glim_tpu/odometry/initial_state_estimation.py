@@ -21,10 +21,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from glim_tpu.ops import imu as imu_ops
 from glim_tpu.ops import lie_np
 from glim_tpu.utils.logging import create_module_logger
 

@@ -21,11 +21,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks as CB
 from glim_tpu.odometry.estimation_base import OdometryEstimationBase

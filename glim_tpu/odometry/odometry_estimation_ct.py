@@ -24,12 +24,11 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks as CB
 from glim_tpu.odometry.estimation_base import OdometryEstimationBase
 from glim_tpu.ops import covariance as cov_ops
-from glim_tpu.ops import gicp, knn, lie, lie_np, solver
+from glim_tpu.ops import knn, lie, solver
 from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.ops.gicp import inv_sym3x3
 from glim_tpu.ops.lie import skew

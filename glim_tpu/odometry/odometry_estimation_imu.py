@@ -25,7 +25,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,7 +33,6 @@ from glim_tpu.odometry.estimation_base import OdometryEstimationBase
 from glim_tpu.odometry.window_estimator import (OLD_SUBSAMPLE, WindowState,
                                                 empty_window, window_scan_step)
 from glim_tpu.ops import covariance as cov_ops
-from glim_tpu.ops import lie_np
 from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.types import EstimationFrame, FrameID, PointBatch, PreprocessedFrame
 from glim_tpu.utils.logging import create_module_logger

@@ -13,7 +13,6 @@ compared to point factors, so clarity wins over hand-derived Jacobians.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -9,7 +9,6 @@ batch dimensions.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from glim_tpu.ops.knn import knn_search, knn_self
+from glim_tpu.ops.knn import knn_self
 
 FPFH_DIM = 33
 

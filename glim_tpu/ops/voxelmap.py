@@ -24,8 +24,6 @@ odometry_estimation_gpu.cpp:89-93) do not trigger recompilation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from glim_tpu.ops import gicp, lie, solver
 from glim_tpu.ops.voxelmap import GaussianVoxelMap
@@ -65,6 +65,32 @@ def sharded_gicp_linearize(mesh: Mesh, T_target, T_source, src_pts, src_covs,
 
     return _run(T_target, T_source, src_pts, src_covs, src_mask,
                 tgt_pts, tgt_covs, tgt_mask, jnp.float32(max_dist))
+
+
+def sharded_factor_linearize(mesh: Mesh, T_t, T_s, pts, covs, masks, vms_stacked
+                             ) -> gicp.FactorSystem:
+    """Global-mapping fan-out: VGICP matching-cost factors sharded over the
+    FACTOR axis (each device linearizes its slice of submap pairs against its
+    slice of target voxel maps; results come back as stacked per-factor
+    blocks to scatter into the pose-graph system).
+
+    Args (F = number of factors, padded to a multiple of mesh size):
+      T_t, T_s:     (F, 4, 4) target/source submap poses
+      pts/covs/masks: (F, C, ...) source submap clouds
+      vms_stacked:  GaussianVoxelMap pytree with leading dim (F, ...)
+    """
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("points"), P("points"), P("points"), P("points"),
+                       P("points"), P("points")),
+             out_specs=P("points"))
+    def _run(T_t_l, T_s_l, pts_l, covs_l, masks_l, vms_l):
+        def one(T_t1, T_s1, p1, c1, m1, vm1):
+            return gicp.vgicp_linearize(T_t1, T_s1, p1, c1, m1, vm1)
+
+        return jax.vmap(one)(T_t_l, T_s_l, pts_l, covs_l, masks_l, vms_l)
+
+    return _run(T_t, T_s, pts, covs, masks, vms_stacked)
 
 
 def sharded_odometry_step(mesh: Mesh, T_init, src_pts, src_covs, src_mask,

@@ -11,7 +11,6 @@ deterministic tests and offline batch processing.
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional
 
 import numpy as np

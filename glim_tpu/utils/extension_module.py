@@ -11,7 +11,7 @@ registry / "pkg.module:factory" import paths.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from glim_tpu.utils.logging import create_module_logger
 from glim_tpu.utils.registry import load_module

@@ -12,14 +12,14 @@ notebook front-ends drive; all heavy math runs on device.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from glim_tpu.ops import covariance as cov_ops
-from glim_tpu.ops import gicp, knn, lie, lie_np, solver
+from glim_tpu.ops import gicp, knn, lie, solver
 from glim_tpu.ops import registration as reg
 from glim_tpu.ops.eigh3 import eigvals_sym3x3
 from glim_tpu.types import SubMap

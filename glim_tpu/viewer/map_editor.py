@@ -11,7 +11,7 @@ so front-ends (CLI / notebook / rviz) can drive it interactively.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Set, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,6 @@ usage and requesting shutdown via ``ok()`` when critically low.
 from __future__ import annotations
 
 import threading
-import time
 from typing import Dict, Optional
 
 from glim_tpu.utils.extension_module import ExtensionModule

@@ -8,8 +8,7 @@ scriptable API (also the backend for a CLI).
 
 from __future__ import annotations
 
-import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -52,3 +52,36 @@ class TestShardedLinearize:
         T_est, errs = sharded_odometry_step(mesh8, jnp.eye(4), src, covs, mask, vm, iters=10)
         err = lie_np.se3_log(np.linalg.inv(T_true) @ np.asarray(T_est, np.float64))
         assert np.linalg.norm(err[3:]) < 0.1, err
+
+
+class TestShardedFactorFanout:
+    def test_matches_loop(self, mesh8, rng):
+        from glim_tpu.parallel.sharded import sharded_factor_linearize
+        import jax.tree_util as jtu
+
+        F, C = 8, 512
+        vms = []
+        ptss, covss, maskss, Tts, Tss = [], [], [], [], []
+        refs = []
+        for f in range(F):
+            pts, mask, covs = scene(rng, 480, C)
+            vm = vmx.empty_gaussian_voxelmap(1024, 0.7)
+            vm = vmx.voxelmap_insert(vm, pts, mask, covs, jnp.int32(0))
+            T_s = jnp.asarray(lie_np.se3_exp(rng.normal(size=6) * 0.02), jnp.float32)
+            vms.append(vm)
+            ptss.append(pts)
+            covss.append(covs)
+            maskss.append(mask)
+            Tts.append(jnp.eye(4))
+            Tss.append(T_s)
+            refs.append(gicp.vgicp_linearize(jnp.eye(4), T_s, pts, covs, mask, vm))
+
+        vm_stack = jtu.tree_map(lambda *xs: jnp.stack(xs), *vms)
+        out = sharded_factor_linearize(
+            mesh8, jnp.stack(Tts), jnp.stack(Tss), jnp.stack(ptss),
+            jnp.stack(covss), jnp.stack(maskss), vm_stack)
+        for f in range(F):
+            np.testing.assert_allclose(np.asarray(out.H_ss[f]),
+                                       np.asarray(refs[f].H_ss), rtol=1e-4, atol=1e-2)
+            np.testing.assert_allclose(np.asarray(out.b_s[f]),
+                                       np.asarray(refs[f].b_s), rtol=1e-4, atol=1e-2)
