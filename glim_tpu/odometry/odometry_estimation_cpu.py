@@ -171,17 +171,28 @@ def _gicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
         state, pts, times, mask, neighbors, dt, enable_deskew)
     model = state.model
 
-    def linearize(T):
-        s = gicp.gicp_linearize(jnp.eye(4), T, deskewed, covs, mask,
-                                model.points, model.covs, model.mask, max_dist)
-        return s.H_ss, s.b_s, s.error
+    # Correspondence-cached GN, like the VGICP path: the NN search (Pallas
+    # streaming kernel on TPU) dominates, so re-search every INNER iterations.
+    from glim_tpu.ops.pallas_knn import nn_search
+    INNER = 2
+    n_outer = max(1, iters // INNER)
 
-    def gn(T, _):
-        H, b, err = linearize(T)
-        delta = solver.solve_damped(H, b, jnp.float32(1e-6))
-        return T @ lie.se3_exp(delta), err
+    def outer(T, _):
+        q = deskewed @ T[:3, :3].T + T[:3, 3]
+        idx, d2 = nn_search(q, mask, model.points, model.mask)
+        mu = model.points[idx]
+        C_t = model.covs[idx]
+        hit = mask & (d2 < max_dist * max_dist) & jnp.isfinite(d2)
 
-    T_new, errs = jax.lax.scan(gn, T_pred, None, length=iters)
+        def inner(T, _):
+            s = gicp.vgicp_linearize_cached(jnp.eye(4), T, deskewed, covs, mu, C_t, hit)
+            delta = solver.solve_damped(s.H_ss, s.b_s, jnp.float32(1e-6))
+            return T @ lie.se3_exp(delta), s.error
+
+        T, errs = jax.lax.scan(inner, T, None, length=INNER)
+        return T, errs[-1]
+
+    T_new, errs = jax.lax.scan(outer, T_pred, None, length=n_outer)
     new_state = _finish_step(state, T_new, dt, deskewed, covs, mask, rng,
                              ema=ema, bootstrap_frames=bootstrap_frames,
                              update_budget=update_budget,

@@ -144,11 +144,12 @@ def _ct_scan_step(T_prev_e, twist_prev, step, model: vmx.PointVoxelMap,
     cv_target = damping * twist_prev * dt
 
     def lookup(T_b, T_e):
+        from glim_tpu.ops.pallas_knn import nn_search
         R_s, t_s = _interp_poses(T_b, T_e, s)
         q = jnp.einsum("cij,cj->ci", R_s, pts) + t_s
-        idx, d2 = knn.knn_search(q, mask, model.points, model.mask, k=1)
-        hit = mask & (d2[:, 0] < max_dist * max_dist) & jnp.isfinite(d2[:, 0])
-        return model.points[idx[:, 0]], model.covs[idx[:, 0]], hit
+        idx, d2 = nn_search(q, mask, model.points, model.mask)
+        hit = mask & (d2 < max_dist * max_dist) & jnp.isfinite(d2)
+        return model.points[idx], model.covs[idx], hit
 
     def gn_round(carry, _):
         T_b, T_e = carry

@@ -101,13 +101,13 @@ def gicp_linearize(T_target: jnp.ndarray, T_source: jnp.ndarray,
                    tgt_pts: jnp.ndarray, tgt_covs: jnp.ndarray, tgt_mask: jnp.ndarray,
                    max_dist: jnp.ndarray) -> FactorSystem:
     """GICP factor vs an explicit target point cloud (NN correspondences)."""
+    from glim_tpu.ops.pallas_knn import nn_search
+
     T_rel = se3_inv(T_target) @ T_source
     R_rel, t_rel = T_rel[:3, :3], T_rel[:3, 3]
     q = src_pts @ R_rel.T + t_rel
 
-    idx, d2 = knn_search(q, src_mask, tgt_pts, tgt_mask, k=1)
-    idx = idx[:, 0]
-    d2 = d2[:, 0]
+    idx, d2 = nn_search(q, src_mask, tgt_pts, tgt_mask)
     mu = tgt_pts[idx]
     C_t = tgt_covs[idx]
 
@@ -185,8 +185,10 @@ def inlier_fraction(T_target, T_source, src_pts, src_mask,
     """Fraction of source points with a target NN within max_dist
     (gtsam_points::inlier_fraction, used for loop validation:
     reference global_mapping_pose_graph.cpp:404,417)."""
+    from glim_tpu.ops.pallas_knn import nn_search
+
     T_rel = se3_inv(T_target) @ T_source
     q = src_pts @ T_rel[:3, :3].T + T_rel[:3, 3]
-    _, d2 = knn_search(q, src_mask, tgt_pts, tgt_mask, k=1)
-    ok = src_mask & (d2[:, 0] < max_dist * max_dist)
+    _, d2 = nn_search(q, src_mask, tgt_pts, tgt_mask)
+    ok = src_mask & (d2 < max_dist * max_dist)
     return jnp.sum(ok) / jnp.maximum(jnp.sum(src_mask), 1)
