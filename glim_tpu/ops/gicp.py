@@ -29,7 +29,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from glim_tpu.ops.knn import knn_search
 from glim_tpu.ops.lie import se3_inv, skew
 from glim_tpu.ops.voxelmap import GaussianVoxelMap, voxelmap_lookup
 

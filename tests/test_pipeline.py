@@ -93,3 +93,29 @@ class TestGlimTPUPipeline:
         assert ate < 0.2, ate
         assert len(glim.global_mapping.global_mapping.submaps) >= 1
         GlobalConfig.reset()
+
+
+class TestRegistryCoverage:
+    def test_all_reference_module_names_resolve(self, tmp_path):
+        """Every so_name the reference configs can select must resolve to a
+        registered factory with our default config objects."""
+        from glim_tpu.utils.config import Config
+        from glim_tpu.utils.default_config import DEFAULT_CONFIGS
+        from glim_tpu.utils.registry import available_modules, canonical_name
+
+        odo = available_modules("odometry")
+        sub = available_modules("sub_mapping")
+        glb = available_modules("global_mapping")
+        ext = available_modules("extension")
+
+        for fname, data in DEFAULT_CONFIGS.items():
+            cfg = Config(data)
+            for section, table in [("odometry_estimation", odo),
+                                   ("sub_mapping", sub),
+                                   ("global_mapping", glb)]:
+                so = cfg.param(section, "so_name", None)
+                if so:
+                    assert canonical_name(so) in table, (fname, so)
+        # Extension modules from config_ros.json.
+        for so in DEFAULT_CONFIGS["config_ros.json"]["glim_ros"]["extension_modules"]:
+            assert canonical_name(so) in ext, so
