@@ -129,6 +129,8 @@ class GlimTPU:
     # -- control --
 
     def workload(self) -> int:
+        if any(ext.needs_wait() for ext in self.extensions):
+            return 1 << 20   # extension requested throttling
         if not self.async_mode:
             return 0
         return max(self.odometry.workload(), self.sub_mapping.workload(),

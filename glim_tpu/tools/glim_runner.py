@@ -29,15 +29,14 @@ def load_dataset(path: str):
         if os.path.exists(os.path.join(path, "imu.csv")) else np.zeros((0, 7))
     stamps = np.loadtxt(os.path.join(path, "stamps.csv"), delimiter=",")
     scan_dir = os.path.join(path, "scans")
+    from glim_tpu.io.loaders import load_scan_file
     scans = []
     for i, stamp in enumerate(np.atleast_1d(stamps)):
-        npy = os.path.join(scan_dir, f"{i:06d}.npy")
-        ply = os.path.join(scan_dir, f"{i:06d}.ply")
-        if os.path.exists(npy):
-            pts = np.load(npy)
-        elif os.path.exists(ply):
-            from glim_tpu.native import ply_read
-            pts = ply_read(ply)
+        for ext in (".npy", ".ply", ".bin"):
+            fp = os.path.join(scan_dir, f"{i:06d}{ext}")
+            if os.path.exists(fp):
+                pts = load_scan_file(fp)
+                break
         else:
             break
         tfile = os.path.join(path, "times", f"{i:06d}.npy")
