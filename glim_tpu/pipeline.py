@@ -98,17 +98,20 @@ class GlimTPU:
         self.global_mapping.insert_imu(stamp, np.asarray(linear_acc), np.asarray(angular_vel))
 
     def insert_frame(self, raw: RawPoints) -> None:
+        from glim_tpu.utils.profiling import profile_scope
         self.data_validator.points_callback(raw)
         if not self.time_keeper.process(raw):
             logger.warning("dropping scan at %.6f", raw.stamp)
             return
-        frame = self.preprocessor.preprocess(raw)
+        with profile_scope("preprocess"):
+            frame = self.preprocessor.preprocess(raw)
         if self.async_mode:
             self.odometry.insert_frame(frame)
             self._pump()
         else:
             marginalized: List[EstimationFrame] = []
-            est = self.odometry.insert_frame(frame, marginalized)
+            with profile_scope("odometry"):
+                est = self.odometry.insert_frame(frame, marginalized)
             if est is not None:
                 self._sync_estimates.append(est)
                 self.trajectory.add_odom(est.stamp, est.T_world_sensor())
@@ -165,6 +168,8 @@ class GlimTPU:
         return self._sync_estimates
 
     def save(self, path: str) -> None:
+        from glim_tpu.utils.profiling import report
+        report()
         self.global_mapping.save(path)
         for ext in self.extensions:
             ext.at_exit(path)

@@ -116,3 +116,17 @@ class TestViewerModules:
         mm.stop()
         info = read_meminfo()
         assert info.get("MemTotal", 0) > 0
+
+
+class TestProfiling:
+    def test_scopes_and_report(self):
+        import time as _t
+
+        from glim_tpu.utils.profiling import profile_scope, report
+        with profile_scope("unit_test_scope"):
+            _t.sleep(0.01)
+        with profile_scope("unit_test_scope"):
+            _t.sleep(0.01)
+        out = report(reset=True)
+        s = out["unit_test_scope"]
+        assert s["n"] == 2 and s["mean_ms"] >= 9.0
