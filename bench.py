@@ -20,7 +20,7 @@ def main():
     # numbers.
     import os
     imu_stats = bench_imu_subprocess(
-        budget_s=float(os.environ.get("GLIM_BENCH_IMU_BUDGET", "240")))
+        budget_s=float(os.environ.get("GLIM_BENCH_IMU_BUDGET", "300")))
 
     from glim_tpu.io.synthetic import generate_sequence, ate_rmse
     from glim_tpu.odometry.odometry_estimation_cpu import (

@@ -282,6 +282,10 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         cap = self.params.imu_window_capacity
         rows = [r for r in self.imu_buffer if t_prev < r[0] <= t_end + 0.02]
         self.imu_buffer = [r for r in self.imu_buffer if r[0] > t_prev - 0.2]
+        if len(rows) > cap:
+            logger.warning("IMU window truncated: %d samples > capacity %d "
+                           "(raise imu_window_capacity for high-rate IMUs)",
+                           len(rows), cap)
         n = min(len(rows), cap)
         acc = np.zeros((cap, 3), np.float32)
         gyro = np.zeros((cap, 3), np.float32)
