@@ -110,6 +110,7 @@ class OdometryEstimationIMUParams:
         p.keyframe_delta_rot = g("keyframe_delta_rot", 0.5)
         p.validate_imu = g("validate_imu", True)
         p.save_imu_rate_trajectory = g("save_imu_rate_trajectory", False)
+        p.imu_window_capacity = int(g("imu_window_capacity", 256))
         if sensors_config is not None:
             s = lambda k, d: sensors_config.param("sensors", k, d)
             p.imu_acc_noise = s("imu_acc_noise", 0.05)
@@ -282,10 +283,11 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         cap = self.params.imu_window_capacity
         rows = [r for r in self.imu_buffer if t_prev < r[0] <= t_end + 0.02]
         self.imu_buffer = [r for r in self.imu_buffer if r[0] > t_prev - 0.2]
-        if len(rows) > cap:
+        if len(rows) > cap and not getattr(self, "_warned_imu_trunc", False):
+            self._warned_imu_trunc = True
             logger.warning("IMU window truncated: %d samples > capacity %d "
-                           "(raise imu_window_capacity for high-rate IMUs)",
-                           len(rows), cap)
+                           "(raise imu_window_capacity for high-rate IMUs; "
+                           "warning shown once)", len(rows), cap)
         n = min(len(rows), cap)
         acc = np.zeros((cap, 3), np.float32)
         gyro = np.zeros((cap, 3), np.float32)
