@@ -371,7 +371,8 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             T_anchor=T0_d,
             v_anchor=jnp.asarray(v0, jnp.float32),
             b_anchor=jnp.asarray(b0, jnp.float32),
-            H_last=jnp.eye(W * 15), step=jnp.int32(0))
+            H_marg=jnp.zeros((30, 30)), b_marg=jnp.zeros(30),
+            step=jnp.int32(0))
 
         # Seed the keyframe maps with the first frame.
         T_wl = T0_d @ jnp.asarray(np.linalg.inv(self.T_lidar_imu), jnp.float32)

@@ -67,8 +67,13 @@ class WindowState:
     T_anchor: jnp.ndarray     # (4, 4)
     v_anchor: jnp.ndarray     # (3,)
     b_anchor: jnp.ndarray     # (6,)
-    # Last optimized window Hessian (for marginalization at the next insert).
-    H_last: jnp.ndarray       # (W*15, W*15)
+    # Marginalization system over [state0 | state1] built from ONLY the
+    # factors incident to state 0 (prior, IMU 0-1, bias walk 0-1,
+    # matching(0)) at the last optimized estimate — Schur-complemented into
+    # the new prior at the next insert. Using the full window Hessian here
+    # would double-count still-active factors that get re-linearized.
+    H_marg: jnp.ndarray       # (30, 30)
+    b_marg: jnp.ndarray       # (30,)
     step: jnp.ndarray         # () int32 monotone scan counter (LRU stamps)
 
 
@@ -99,7 +104,8 @@ def empty_window(W: int, C_sub: int) -> WindowState:
         T_anchor=jnp.eye(4),
         v_anchor=jnp.zeros(3),
         b_anchor=jnp.zeros(6),
-        H_last=jnp.zeros((W * STATE_DIM, W * STATE_DIM)),
+        H_marg=jnp.zeros((2 * STATE_DIM, 2 * STATE_DIM)),
+        b_marg=jnp.zeros(2 * STATE_DIM),
         step=jnp.int32(0),
     )
 
@@ -185,7 +191,11 @@ def window_scan_step(win: WindowState, vms,
     Rs, ps, _vs = imu_ops.integrate_poses(T_prev[:3, :3], T_prev[:3, 3], v_prev,
                                           b_prev, gravity, imu_acc, imu_gyro,
                                           imu_dts, imu_mask)
-    stamps_t, quats_t, trans_t = deskew_ops.imu_pose_table(imu_stamps_rel, Rs, ps)
+    # Padding lanes must sort AFTER the real stamps or deskew's binary
+    # search lands in the zero-padded tail and assigns scan-end poses to
+    # mid-scan points.
+    stamps_sorted = jnp.where(imu_mask, imu_stamps_rel, jnp.inf)
+    stamps_t, quats_t, trans_t = deskew_ops.imu_pose_table(stamps_sorted, Rs, ps)
     # Guard: with <2 valid samples the pose table is degenerate -> skip deskew.
     enough_imu = jnp.sum(imu_mask) >= 2
     deskewed = jnp.where(enough_imu,
@@ -204,14 +214,15 @@ def window_scan_step(win: WindowState, vms,
     marg_b = win.b[0]
     marg_stamp = win.stamp[0]
 
-    # Schur prior from the stored Hessian: reorder [state1 | state0],
-    # marginalize the trailing 15 dof.
+    # Schur prior from the stored state-0-incident system: reorder
+    # [state1 | state0], marginalize the trailing 15 dof (with gradient).
     keep = jnp.concatenate([jnp.arange(STATE_DIM, 2 * STATE_DIM),
                             jnp.arange(0, STATE_DIM)])
-    H2 = win.H_last[jnp.ix_(keep, keep)]
-    H_schur, _ = solver.schur_marginalize(H2, jnp.zeros(2 * STATE_DIM), STATE_DIM)
+    H2 = win.H_marg[jnp.ix_(keep, keep)]
+    b2 = win.b_marg[keep]
+    H_schur, b_schur = solver.schur_marginalize(H2, b2, STATE_DIM)
     H_prior_n = jnp.where(was_full, H_schur, win.H_prior)
-    b_prior_n = jnp.where(was_full, jnp.zeros(STATE_DIM), win.b_prior)
+    b_prior_n = jnp.where(was_full, b_schur, win.b_prior)
     T_anchor_n = jnp.where(was_full, win.T[1], win.T_anchor)
     v_anchor_n = jnp.where(was_full, win.v[1], win.v_anchor)
     b_anchor_n = jnp.where(was_full, win.b[1], win.b_anchor)
@@ -307,15 +318,14 @@ def window_scan_step(win: WindowState, vms,
                                            mask_r[k], vm) for vm in vms])
 
     T_c, v_c, b_c = T_r, v_r, b_r
-    H_fin = win.H_last
     err_fin = jnp.zeros(())
     for _ in range(outer_iters):
         T_wl_n = T_c[W - 1] @ T_imu_lidar
         corr_new = [gicp.vgicp_lookup(jnp.eye(4), T_wl_n, deskewed, scan_mask, vm)
                     for vm in vms]
         for _ in range(inner_iters):
-            H_fin, g, err_fin = linearize(T_c, v_c, b_c, corr_old, corr_new)
-            delta = solver.solve_damped(H_fin, g, jnp.float32(1e-4))
+            H_gn, g, err_fin = linearize(T_c, v_c, b_c, corr_old, corr_new)
+            delta = solver.solve_damped(H_gn, g, jnp.float32(1e-4))
             d = delta.reshape(W, STATE_DIM)
             T_c = T_c @ lie.se3_exp(d[:, :6])
             v_c = v_c + d[:, 6:9]
@@ -326,7 +336,45 @@ def window_scan_step(win: WindowState, vms,
     T_c = jnp.where(finite, T_c, T_r)
     v_c = jnp.where(finite, v_c, v_r)
     b_c = jnp.where(finite, b_c, b_r)
-    H_fin = jnp.where(finite, H_fin, jnp.eye(D))
+
+    # --- 5b. build the NEXT marginalization system: only the factors
+    # incident to state 0, linearized at the final estimate ---
+    Hm = jnp.zeros((2 * STATE_DIM, 2 * STATE_DIM))
+    bm = jnp.zeros(2 * STATE_DIM)
+    w01 = (valid_r[0] & valid_r[1]).astype(jnp.float32)
+    # prior (applies to state 0 when the window is full next scan)
+    Hp0, bp0, _ = _prior_system(T_c[0], v_c[0], b_c[0], T_anchor_n,
+                                v_anchor_n, b_anchor_n, H_prior_n, b_prior_n)
+    Hm = Hm.at[:15, :15].add(w01 * Hp0)
+    bm = bm.at[:15].add(w01 * bp0)
+    # IMU factor 0-1
+    pre_0 = jax.tree_util.tree_map(lambda x: x[0], pre_r)
+    ok0 = w01 * (pre_0.dt > 1e-6).astype(jnp.float32)
+    Hi0, bi0, _ = _imu_factor_system(T_c[0], v_c[0], T_c[1], v_c[1], b_c[0],
+                                     pre_0, gravity)
+    Hm = Hm + ok0 * Hi0
+    bm = bm + ok0 * bi0
+    # bias walk 0-1
+    r_b0 = b_c[1] - b_c[0]
+    info0 = bias_rw_info / jnp.maximum(pre_0.dt, 1e-3)
+    Hb0 = jnp.diag(info0)
+    Hm = Hm.at[9:15, 9:15].add(ok0 * Hb0)
+    Hm = Hm.at[24:30, 24:30].add(ok0 * Hb0)
+    Hm = Hm.at[9:15, 24:30].add(-ok0 * Hb0)
+    Hm = Hm.at[24:30, 9:15].add(-ok0 * Hb0)
+    bm = bm.at[9:15].add(-ok0 * info0 * r_b0)
+    bm = bm.at[24:30].add(ok0 * info0 * r_b0)
+    # matching(0) on pose 0
+    T_wl0 = T_c[0] @ T_imu_lidar
+    for lvl in range(L):
+        mu0, Ct0, hit0 = corr_old[0][lvl]
+        sys0 = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl0, pts_r[0],
+                                           covs_r[0], mu0, Ct0, hit0)
+        w0 = w01 * matching_weight * OLD_SUBSAMPLE
+        Hm = Hm.at[:6, :6].add(w0 * (Ad.T @ sys0.H_ss @ Ad))
+        bm = bm.at[:6].add(w0 * (Ad.T @ sys0.b_s))
+    Hm = jnp.where(finite, Hm, jnp.eye(2 * STATE_DIM))
+    bm = jnp.where(finite, bm, jnp.zeros(2 * STATE_DIM))
 
     # --- 6. keyframe-gated model update ---
     T_wl_new = T_c[W - 1] @ T_imu_lidar
@@ -346,7 +394,7 @@ def window_scan_step(win: WindowState, vms,
         T=T_c, v=v_c, b=b_c, stamp=stamp_r, valid=valid_r,
         pts=pts_r, covs=covs_r, mask=mask_r, preints=pre_r,
         H_prior=H_prior_n, b_prior=b_prior_n, T_anchor=T_anchor_n,
-        v_anchor=v_anchor_n, b_anchor=b_anchor_n, H_last=H_fin,
+        v_anchor=v_anchor_n, b_anchor=b_anchor_n, H_marg=Hm, b_marg=bm,
         step=win.step + 1)
 
     # Packed status (fetched lazily, one scan late): [finite, err, overlap,

@@ -99,8 +99,11 @@ def nn_search(queries, query_mask, targets, target_mask):
     fallback elsewhere (Pallas CPU runs interpret-only, far slower than the
     fallback). Safe to call inside jit: the dispatch is trace-time."""
     dev = str(jax.devices()[0]).lower()
+    # VMEM bound: the kernel stages the whole transposed target array in
+    # VMEM (~16 B/point padded); beyond ~512k points fall back to the tiled
+    # XLA path rather than risk a Mosaic OOM.
     if ("tpu" in dev and queries.shape[0] % TQ == 0
-            and targets.shape[0] % TN == 0):
+            and targets.shape[0] % TN == 0 and targets.shape[0] <= 524288):
         return nn_search_pallas(queries, query_mask, targets, target_mask)
     from glim_tpu.ops.knn import knn_search
     idx, d2 = knn_search(queries, query_mask, targets, target_mask, k=1)

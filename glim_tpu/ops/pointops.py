@@ -44,13 +44,16 @@ def voxel_coords(points: jnp.ndarray, inv_resolution) -> jnp.ndarray:
 def hash_coords(coords: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) int32 -> (...,) int32 mixing hash (Vector3iHash equivalent).
 
-    Uses the standard large-prime XOR mix; result is masked to 31 bits so it
-    is non-negative and strictly below INVALID_HASH.
+    Uses the standard large-prime XOR mix; result is non-negative and
+    clamped strictly below INVALID_HASH.
     """
     c = coords.astype(jnp.uint32)
     h = (c[..., 0] * jnp.uint32(73856093)) ^ (c[..., 1] * jnp.uint32(19349669)) ^ (
         c[..., 2] * jnp.uint32(83492791))
-    return (h & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    # Clamp to 0x7FFFFFFE: 0x7FFFFFFF IS the INVALID_HASH sentinel, and a
+    # real voxel hashing onto it would silently vanish from the map.
+    return jnp.minimum(h & jnp.uint32(0x7FFFFFFF),
+                       jnp.uint32(0x7FFFFFFE)).astype(jnp.int32)
 
 
 def _order_by(hash_keys: jnp.ndarray, coords: jnp.ndarray, *tiebreak: jnp.ndarray) -> jnp.ndarray:

@@ -105,12 +105,6 @@ def _sorted_reduce(hashes, coords, weights, w_mean, w_cov, ages, capacity):
                                      seg_id, num_segments=n_out)[:capacity]
 
     slot_valid = jnp.arange(capacity) < num_segs
-    overflow = num_segs > capacity  # never true: cumsum bounded by entries; kept for clarity
-
-    # LRU eviction happens implicitly when the merged entry list is larger
-    # than capacity: keep the `capacity` most recently updated voxels.
-    # (When num_segs <= capacity nothing is evicted.)
-    del overflow
     seg_hash = jnp.where(slot_valid, seg_hash, INVALID_HASH)
 
     # Re-sort by hash so lookup's searchsorted stays valid (invalid slots
@@ -278,8 +272,17 @@ def pointmap_insert(pm: PointVoxelMap, points: jnp.ndarray, mask: jnp.ndarray,
     same = (h_s[1:] == h_s[:-1]) & jnp.all(c_s[1:] == c_s[:-1], axis=-1)
     first = jnp.concatenate([valid_s[:1], ~same]) & valid_s
 
-    # Keep top-M by age among survivors.
-    age_s = all_age[order]
+    # LRU refresh-on-touch: a surviving (existing) point adopts the NEWEST
+    # age in its sub-voxel, so re-observed structure is not evicted while
+    # the sensor is looking at it (iVox touch semantics).
+    starts = first
+    seg_id = jnp.cumsum(starts) - 1
+    n_seg = M + points.shape[0] + 1
+    age_s_raw = all_age[order]
+    seg_max_age = jax.ops.segment_max(
+        jnp.where(valid_s, age_s_raw, -1),
+        jnp.where(valid_s, seg_id, n_seg - 1), num_segments=n_seg)
+    age_s = jnp.where(valid_s, seg_max_age[seg_id], -1)
     score = jnp.where(first, age_s, jnp.iinfo(jnp.int32).min)
     _, keep = jax.lax.top_k(score, M)
     new_mask = first[keep]
