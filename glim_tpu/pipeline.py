@@ -124,6 +124,7 @@ class GlimTPU:
         est, margs = self.odometry.get_results()
         for e in est:
             self._sync_estimates.append(e)
+            self.trajectory.add_odom(e.stamp, e.T_world_sensor())
         for m in margs:
             self.sub_mapping.insert_frame(m)
         for sm in self.sub_mapping.get_results():

@@ -119,3 +119,51 @@ class TestRegistryCoverage:
         # Extension modules from config_ros.json.
         for so in DEFAULT_CONFIGS["config_ros.json"]["glim_ros"]["extension_modules"]:
             assert canonical_name(so) in ext, so
+
+
+@pytest.mark.slow
+class TestImuPipelineE2E:
+    def test_default_gpu_config_pipeline(self, tmp_path):
+        """The DEFAULT config path (odometry_estimation_gpu = the LiDAR-IMU
+        window estimator) through the full sync pipeline."""
+        cfg_dir = create_default_config_dir(str(tmp_path / "config"))
+        # Shrink capacities for CPU test speed.
+        for fname, section, upd in [
+            ("config_preprocess.json", "preprocess",
+             dict(random_downsample_target=1200, downsample_resolution=0.4)),
+            ("config_odometry_gpu.json", "odometry_estimation",
+             dict(voxel_resolution=0.5, initialization_window_size=0.3)),
+            ("config_sub_mapping_gpu.json", "sub_mapping",
+             dict(max_num_keyframes=4, keyframe_update_strategy="DISPLACEMENT",
+                  keyframe_update_interval_trans=0.5)),
+        ]:
+            p = os.path.join(cfg_dir, fname)
+            with open(p) as f:
+                d = json.load(f)
+            d[section].update(upd)
+            with open(p, "w") as f:
+                json.dump(d, f)
+
+        seq = generate_sequence(duration=2.5, scan_hz=10.0, n_scan_points=2500,
+                                noise=0.01, seed=53, scene_points=25000)
+        glim = GlimTPU(config_path=cfg_dir, async_mode=False)
+        # Shrink the device-side capacities on the instantiated module.
+        glim.odometry.params.voxel_capacity = 16384
+        glim.odometry.model = tuple(
+            __import__("glim_tpu.ops.voxelmap", fromlist=["x"]).empty_gaussian_voxelmap(
+                16384, 0.5 * (2.0 ** lvl)) for lvl in range(2))
+        imu_idx = 0
+        for raw in seq.scans:
+            while imu_idx < len(seq.imu) and seq.imu[imu_idx, 0] <= raw.stamp + 0.12:
+                glim.insert_imu(seq.imu[imu_idx, 0], seq.imu[imu_idx, 1:4],
+                                seq.imu[imu_idx, 4:7])
+                imu_idx += 1
+            glim.insert_frame(raw)
+        glim.wait()
+        est = glim.odometry_estimates
+        assert len(est) >= 15
+        gt = [seq.gt_poses[int(round(e.stamp * 10))] for e in est]
+        ate = ate_rmse([e.T_world_lidar for e in est], gt, align=True)
+        assert ate < 0.15, ate
+        assert len(glim.global_mapping.submaps) >= 1
+        GlobalConfig.reset()
