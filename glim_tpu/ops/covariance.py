@@ -81,6 +81,14 @@ def estimate_covariances(points: jnp.ndarray, mask: jnp.ndarray,
     return cov_r, normals
 
 
+@partial(jax.jit, static_argnames=())
+def estimate_normals(points: jnp.ndarray, mask: jnp.ndarray,
+                     neighbors: jnp.ndarray) -> jnp.ndarray:
+    """Per-point normals only (gtsam_points::estimate_normals role)."""
+    _, normals = estimate_covariances(points, mask, neighbors, NONE)
+    return normals
+
+
 @jax.jit
 def outlier_mask(sq_dists: jnp.ndarray, mask: jnp.ndarray,
                  std_mul_factor: float = 1.0) -> jnp.ndarray:

@@ -95,6 +95,13 @@ def prior_linearize(T: jnp.ndarray, Z: jnp.ndarray, sqrt_info: jnp.ndarray):
     return jax.vmap(one)(T, Z_inv, sqrt_info)
 
 
+def linear_damping(dim: int, scale) -> jnp.ndarray:
+    """gtsam_points::LinearDampingFactor role: an isotropic information
+    block added at a key to fix gauge freedom or recover an indeterminate
+    system (reference usage: mapping/global_mapping.cpp:505-543)."""
+    return jnp.eye(dim) * scale
+
+
 def scatter_between(H, b, batch: BetweenBatch, idx_i, idx_j):
     """Accumulate batched between blocks into the dense (N*6, N*6) system.
 

@@ -167,6 +167,25 @@ def vgicp_linearize_cached(T_target: jnp.ndarray, T_source: jnp.ndarray,
 
 
 @jax.jit
+def icp_linearize(T_target: jnp.ndarray, T_source: jnp.ndarray,
+                  src_pts: jnp.ndarray, src_mask: jnp.ndarray,
+                  tgt_pts: jnp.ndarray, tgt_mask: jnp.ndarray,
+                  max_dist: jnp.ndarray) -> FactorSystem:
+    """Point-to-point ICP factor (gtsam_points::IntegratedICPFactor role):
+    GICP with identity covariances, i.e. isotropic Mahalanobis weights."""
+    from glim_tpu.ops.pallas_knn import nn_search
+
+    T_rel = se3_inv(T_target) @ T_source
+    R_rel, t_rel = T_rel[:3, :3], T_rel[:3, 3]
+    q = src_pts @ R_rel.T + t_rel
+    idx, d2 = nn_search(q, src_mask, tgt_pts, tgt_mask)
+    mu = tgt_pts[idx]
+    inlier = src_mask & (d2 < max_dist * max_dist) & jnp.isfinite(d2)
+    omega = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), q.shape + (3,))
+    return _linearize_core(R_rel, t_rel, src_pts, mu, omega, inlier.astype(q.dtype))
+
+
+@jax.jit
 def gicp_error(T_target, T_source, src_pts, src_covs, src_mask,
                tgt_pts, tgt_covs, tgt_mask, max_dist) -> jnp.ndarray:
     return gicp_linearize(T_target, T_source, src_pts, src_covs, src_mask,
