@@ -95,6 +95,50 @@ def prior_linearize(T: jnp.ndarray, Z: jnp.ndarray, sqrt_info: jnp.ndarray):
     return jax.vmap(one)(T, Z_inv, sqrt_info)
 
 
+@jax.jit
+def translation_prior_linearize(T: jnp.ndarray, t_meas: jnp.ndarray,
+                                sqrt_info: jnp.ndarray):
+    """Batched translation-only priors (gtsam::PoseTranslationPrior role;
+    reference usage: mapping/global_mapping.cpp session-anchor priors).
+
+    r = T.t - t_meas, whitened by diag(sqrt_info); rotation is left free.
+    Returns (H (B,6,6), b (B,6), err (B,)) in the same right-retraction
+    parameterization as the other factors here.
+    """
+
+    def one(Ti, tm, si):
+        r = Ti[:3, 3] - tm
+        J = jax.jacfwd(lambda x: (Ti @ se3_exp(x))[:3, 3] - tm)(jnp.zeros(6))
+        W = (si * si)[:, None]
+        return J.T @ (W * J), J.T @ (W[:, 0] * r), jnp.sum(W[:, 0] * r * r)
+
+    return jax.vmap(one)(T, t_meas, sqrt_info)
+
+
+@jax.jit
+def rotate_vector3_linearize(T: jnp.ndarray, v_local: jnp.ndarray,
+                             v_world: jnp.ndarray, sqrt_info: jnp.ndarray):
+    """Batched gtsam_points::RotateVector3Factor role: constrain a pose's
+    rotation so that R @ v_local == v_world (reference usage:
+    mapping/global_mapping.cpp:168-219 — aligning a new session's gravity
+    direction to the map frame).
+
+    r = R(T) @ v_local - v_world (3-dim), whitened by diag(sqrt_info).
+    Returns (H (B,6,6), b (B,6), err (B,)); translation columns are zero.
+    """
+
+    def one(Ti, vl, vw, si):
+        def res(x):
+            return (Ti @ se3_exp(x))[:3, :3] @ vl - vw
+
+        r = res(jnp.zeros(6))
+        J = jax.jacfwd(res)(jnp.zeros(6))
+        W = (si * si)[:, None]
+        return J.T @ (W * J), J.T @ (W[:, 0] * r), jnp.sum(W[:, 0] * r * r)
+
+    return jax.vmap(one)(T, v_local, v_world, sqrt_info)
+
+
 def linear_damping(dim: int, scale) -> jnp.ndarray:
     """gtsam_points::LinearDampingFactor role: an isotropic information
     block added at a key to fix gauge freedom or recover an indeterminate

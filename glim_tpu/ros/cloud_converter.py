@@ -96,6 +96,20 @@ def extract_raw_points(msg, intensity_field: str = "intensity",
                                  _DTYPES.get(f.datatype, np.uint16)).astype(np.int32)
             break
 
+    colors = None
+    for name in ("rgba", "rgb"):
+        if name in fields:
+            f = fields[name]
+            packed = _field_array(data, step, n, f.offset,
+                                  _DTYPES.get(f.datatype, np.uint32))
+            if packed.dtype.kind == "f":  # PCL packs RGB bits into a float32
+                packed = packed.view(np.uint32)
+            packed = packed.astype(np.uint32)
+            colors = np.stack([(packed >> 16) & 0xFF, (packed >> 8) & 0xFF,
+                               packed & 0xFF, (packed >> 24) & 0xFF],
+                              axis=-1).astype(np.float32) / 255.0
+            break
+
     stamp = to_sec(getattr(getattr(msg, "header", None), "stamp", None))
     return RawPoints(stamp=stamp, points=pts, times=times,
-                     intensities=intensities, rings=rings)
+                     intensities=intensities, colors=colors, rings=rings)

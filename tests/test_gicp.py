@@ -157,3 +157,24 @@ class TestSolverUtils:
         full = np.linalg.solve(H.astype(np.float64), -b.astype(np.float64))[:K]
         red = np.linalg.solve(np.asarray(Hr, np.float64), -np.asarray(br, np.float64))
         np.testing.assert_allclose(red, full, atol=1e-3)
+
+
+class TestICPFactor:
+    def test_recovers_perturbation(self, rng):
+        pts, mask, covs = make_scene(rng)
+        xi_true = np.array([0.0, 0.0, 0.05, 0.2, -0.1, 0.1])
+        T_true = lie_np.se3_exp(xi_true).astype(np.float32)
+        Ti = np.linalg.inv(T_true.astype(np.float64)).astype(np.float32)
+        src = jnp.asarray(np.asarray(pts) @ Ti[:3, :3].T + Ti[:3, 3])
+
+        def linearize(T):
+            s = gicp.icp_linearize(jnp.eye(4), T, src, mask, pts, mask,
+                                   jnp.float32(1.0))
+            return s.H_ss, s.b_s, s.error
+
+        res = solver.lm_optimize(linearize, lambda T, d: T @ lie.se3_exp(d),
+                                 jnp.eye(4),
+                                 solver.TerminationCriteria(max_iterations=15))
+        err = lie_np.se3_log(np.linalg.inv(T_true.astype(np.float64))
+                             @ np.asarray(res.x, np.float64))
+        assert np.linalg.norm(err[3:]) < 0.05, err
