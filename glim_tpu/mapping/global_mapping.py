@@ -97,6 +97,11 @@ class GlobalMapping(GlobalMappingBase):
         self.imu_factors: List[dict] = []
         self.junction_states: List[np.ndarray] = []   # (12,) [v_R, v_L, bias]
         self._imu_buffer: List[np.ndarray] = []
+        # Gravity-alignment anchors: first submap of each appended session.
+        # RotateVector3Factor role (reference: mapping/global_mapping.cpp
+        # :168-219) — keeps a loaded session's up-direction pinned to world
+        # gravity while yaw/translation stay free to slide into alignment.
+        self.gravity_anchors: List[int] = []
 
     # -- insertion --
 
@@ -294,6 +299,20 @@ class GlobalMapping(GlobalMappingBase):
         H = H.at[:6, :6].add(pH[0])
         b = b.at[:6].add(pb[0])
         err = err + perr[0]
+
+        # Gravity alignment of appended sessions (RotateVector3Factor role).
+        if self.gravity_anchors:
+            ez = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+            si = jnp.full((1, 3), np.sqrt(p.init_pose_damping_scale) * 0.1,
+                          jnp.float32)
+            for a in self.gravity_anchors:
+                gH, gb, gerr = fct.rotate_vector3_linearize(
+                    poses_dev[a][None], ez, ez, si)
+                ai = a * 6
+                H = H.at[ai:ai + 6, ai:ai + 6].add(gH[0])
+                b = b.at[ai:ai + 6].add(gb[0])
+                err = err + gerr[0]
+
         H = H + jnp.eye(D) * 1e-6
         return H, b, err
 
@@ -416,6 +435,8 @@ class GlobalMapping(GlobalMappingBase):
         from glim_tpu.io.dump import load_dump
         submaps, poses, factors = load_dump(path)
         base = len(self.submaps)
+        if base > 0 and submaps:
+            self.gravity_anchors.append(base)
         for sm, T in zip(submaps, poses):
             sm.id = base + sm.id
             sm.session_id = session_offset

@@ -108,3 +108,28 @@ class TestGlobalMapping:
         gm.matching_factors = []
         gm.find_overlapping_submaps(0.2)
         assert len(gm.matching_factors) >= before
+
+    def test_session_gravity_alignment(self, rng, tmp_path):
+        # Append a second session whose odometry poses are tilted 5 deg about
+        # x; the gravity-anchor factor should pull the session's up-direction
+        # back toward world +z during optimization.
+        gm, *_ = self.build(rng, n_submaps=2, create_between_factors=True)
+        d = str(tmp_path / "dump")
+        gm.save(d)
+
+        gm2 = GlobalMapping(GlobalMappingParams(
+            submap_voxel_resolution=0.5, voxel_capacity=16384,
+            min_implicit_loop_overlap=0.2, enable_optimization=False))
+        gm2.load(d)
+        assert gm2.gravity_anchors == []          # first session: no anchor
+        gm2.load(d, session_offset=1)
+        assert gm2.gravity_anchors == [2]
+
+        tilt = lie_np.se3_exp(np.array([0.087, 0, 0, 0, 0, 0]))
+        for k in (2, 3):
+            gm2.poses[k] = tilt @ gm2.poses[k]
+            gm2.submaps[k].T_world_origin = gm2.poses[k].copy()
+        up0 = gm2.poses[2][:3, :3] @ [0, 0, 1]
+        gm2.optimize()
+        up1 = gm2.poses[2][:3, :3] @ [0, 0, 1]
+        assert np.arccos(np.clip(up1[2], -1, 1)) < np.arccos(np.clip(up0[2], -1, 1)) * 0.5, (up0, up1)
