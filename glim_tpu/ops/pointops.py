@@ -161,6 +161,15 @@ def random_sampling(points: jnp.ndarray, mask: jnp.ndarray, target: int,
 
 
 @jax.jit
+def sample(points: jnp.ndarray, mask: jnp.ndarray,
+           indices: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Select points by index (gtsam_points::sample role): output lane k is
+    input lane indices[k]; negative indices mark invalid output lanes."""
+    idx = jnp.maximum(indices, 0)
+    return points[idx], (indices >= 0) & mask[idx]
+
+
+@jax.jit
 def distance_filter(points: jnp.ndarray, mask: jnp.ndarray, near, far) -> jnp.ndarray:
     """Mask update: keep finite points with near <= |p| <= far
     (reference behavior: preprocess/cloud_preprocessor.cpp:118-129)."""

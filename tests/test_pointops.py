@@ -133,3 +133,16 @@ class TestFilters:
         med = float(pointops.median_distance(pts, mask))
         dn = np.linalg.norm(np.asarray(pts)[np.asarray(mask)], axis=1)
         assert abs(med - np.median(dn)) < np.sort(dn)[505] - np.sort(dn)[495] + 1e-3
+
+
+class TestSample:
+    def test_select_by_indices(self, rng):
+        import jax.numpy as jnp
+        pts = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        mask = jnp.asarray(np.arange(64) < 50)
+        idx = jnp.asarray([0, 49, 50, -1, 10], jnp.int32)
+        out, om = pointops.sample(pts, mask, idx)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(pts[0]))
+        np.testing.assert_allclose(np.asarray(out[4]), np.asarray(pts[10]))
+        # lane 50 is an invalid source; lane -1 is an invalid request
+        assert list(np.asarray(om)) == [True, True, False, False, True]
