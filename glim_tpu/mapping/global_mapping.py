@@ -97,6 +97,10 @@ class GlobalMapping(GlobalMappingBase):
         self.imu_factors: List[dict] = []
         self.junction_states: List[np.ndarray] = []   # (12,) [v_R, v_L, bias]
         self._imu_buffer: List[np.ndarray] = []
+        # Indeterminant-system recovery (reference :492-544): poses that made
+        # a solve blow up get a linear_damping block added on the next
+        # linearization. Maps submap index -> damping scale.
+        self.recovery_damping: dict = {}
         # Gravity-alignment anchors: first submap of each appended session.
         # RotateVector3Factor role (reference: mapping/global_mapping.cpp
         # :168-219) — keeps a loaded session's up-direction pinned to world
@@ -313,6 +317,12 @@ class GlobalMapping(GlobalMappingBase):
                 b = b.at[ai:ai + 6].add(gb[0])
                 err = err + gerr[0]
 
+        # Recovery damping at poses flagged by a previous failed solve
+        # (gtsam_points::LinearDampingFactor role, reference :505-543).
+        for k, scale in self.recovery_damping.items():
+            ki = k * 6
+            H = H.at[ki:ki + 6, ki:ki + 6].add(fct.linear_damping(6, scale))
+
         H = H + jnp.eye(D) * 1e-6
         return H, b, err
 
@@ -364,6 +374,22 @@ class GlobalMapping(GlobalMappingBase):
         CB.on_smoother_update_result(self, res)
 
         new_poses = np.asarray(res.x[0], np.float64)
+        if not np.all(np.isfinite(new_poses)):
+            # Indeterminant-system recovery (reference :492-544): damp the
+            # offending poses and re-solve from the pre-update values once.
+            bad = np.where(~np.isfinite(new_poses).all(axis=(1, 2)))[0]
+            for k in (bad if len(bad) else range(N)):
+                self.recovery_damping[int(k)] = 1e6
+            logger.warning("indeterminant linear system: damping poses %s "
+                           "and re-optimizing", list(bad))
+            res = solver.lm_optimize(
+                linearize, retract, x0,
+                solver.TerminationCriteria(max_iterations=p.lm_iterations))
+            self.recovery_damping.clear()
+            new_poses = np.asarray(res.x[0], np.float64)
+            if not np.all(np.isfinite(new_poses)):
+                logger.error("recovery failed; keeping previous poses")
+                return
         for k in range(N):
             self.poses[k] = _orthonormalize(new_poses[k])
             self.submaps[k].T_world_origin = self.poses[k].copy()

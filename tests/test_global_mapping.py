@@ -133,3 +133,29 @@ class TestGlobalMapping:
         gm2.optimize()
         up1 = gm2.poses[2][:3, :3] @ [0, 0, 1]
         assert np.arccos(np.clip(up1[2], -1, 1)) < np.arccos(np.clip(up0[2], -1, 1)) * 0.5, (up0, up1)
+
+    def test_indeterminant_recovery(self, rng, monkeypatch):
+        # First solve returns NaN poses -> recovery damps and retries; the
+        # retried (real) solve must land on finite poses.
+        gm, true_poses, _ = self.build(
+            rng, drift_xi=np.array([0, 0, 0.003, 0.05, 0, 0]), n_submaps=3)
+
+        from glim_tpu.ops import solver as slv
+        real_lm = slv.lm_optimize
+        calls = {"n": 0}
+
+        def flaky_lm(linearize, retract, x0, crit, **kw):
+            calls["n"] += 1
+            res = real_lm(linearize, retract, x0, crit, **kw)
+            if calls["n"] == 1:
+                poses = np.asarray(res.x[0]).copy()
+                poses[1] = np.nan
+                res.x = (jnp.asarray(poses), res.x[1])
+            return res
+
+        import glim_tpu.mapping.global_mapping as gmod
+        monkeypatch.setattr(gmod.solver, "lm_optimize", flaky_lm)
+        gm.optimize()
+        assert calls["n"] == 2                      # retried exactly once
+        assert gm.recovery_damping == {}            # cleared after recovery
+        assert all(np.all(np.isfinite(T)) for T in gm.poses)
