@@ -273,6 +273,19 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         CB.on_smoother_update_result(self, res)
 
         new_poses = np.asarray(res.x, np.float64)
+        if not np.all(np.isfinite(new_poses[:N])):
+            # Indeterminant-system recovery (reference global_mapping.cpp
+            # :492-544 analogue): re-solve once with heavy initial damping;
+            # if still broken, keep the previous poses.
+            logger.warning("indeterminant linear system in pose graph: "
+                           "re-optimizing with heavy damping")
+            res = solver.lm_optimize(
+                linearize, retract, jnp.asarray(poses, jnp.float32),
+                solver.TerminationCriteria(max_iterations=5), init_lambda=1e2)
+            new_poses = np.asarray(res.x, np.float64)
+            if not np.all(np.isfinite(new_poses[:N])):
+                logger.error("recovery failed; keeping previous poses")
+                return
         for k in range(N):
             self.poses[k] = _orthonormalize(new_poses[k])
             self.submaps[k].T_world_origin = self.poses[k].copy()
