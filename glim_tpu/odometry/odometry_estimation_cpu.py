@@ -281,7 +281,12 @@ class OdometryEstimationCPU(OdometryEstimationBase):
         return out
 
 
-@register_module("odometry", "odometry_estimation_cpu")
+# NOTE: the "odometry_estimation_cpu" registry name is claimed by the
+# IMU-coupled variant (odometry_estimation_cpu_imu.py) for reference parity
+# — the reference cpu module is tightly IMU-coupled
+# (odometry_estimation_cpu.cpp:77-173). This LiDAR-only module remains
+# reachable via enable_imu=false or direct construction (LOOSE init, bench).
+@register_module("odometry", "odometry_estimation_lidar_only")
 def create_odometry_estimation_module(config=None, sensors_config=None):
     params = (OdometryEstimationCPUParams.from_config(config)
               if config is not None else OdometryEstimationCPUParams())

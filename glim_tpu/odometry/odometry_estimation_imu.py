@@ -6,15 +6,20 @@ src/glim/odometry/odometry_estimation_imu.cpp:35-457,
 odometry/odometry_estimation_gpu.cpp:76-412, params from
 config/config_odometry_gpu.json): per-scan IMU preintegration + NavState
 prediction, IMU-rate deskewing, multi-resolution VGICP matching against a
-keyframe voxel map, joint optimization of pose/velocity/bias over a sliding
-window with marginalization priors (the fixed-lag smoother replacement), and
-keyframe management by map overlap.
+keyframe voxel map, joint optimization of pose/velocity/bias over a
+``smoother_lag``-sized sliding window with marginalization priors (the
+fixed-lag smoother replacement, odometry_estimation_imu.cpp:343-355),
+keyframe management with the reference's OVERLAP / DISPLACEMENT / ENTROPY
+strategies (odometry_estimation_gpu.cpp:208-412), and on-request marginal
+covariances (odometry_estimation_imu.cpp:399-428).
 
 The ENTIRE per-scan pipeline is one fused jitted program
 (window_estimator.window_scan_step); the host builds the padded IMU window,
-dispatches, and never blocks — status (corruption, IMU validation inputs)
-returns through a small packed vector fetched one scan late when its
-transfer has already landed.
+dispatches, and never blocks — status (corruption, IMU validation and
+keyframe-strategy inputs) returns through a small packed vector fetched one
+scan late when its transfer has already landed. Keyframe insertions /
+evictions are decided from that lagged status and dispatched as separate
+device programs off the per-scan path (keyframe_manager.py).
 
 Registered as ``odometry_estimation_gpu`` — the reference's "gpu" module is
 its VGICP-accelerated configuration, which is exactly what the TPU runs.
@@ -30,8 +35,11 @@ import numpy as np
 
 from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks as CB
 from glim_tpu.odometry.estimation_base import OdometryEstimationBase
-from glim_tpu.odometry.window_estimator import (OLD_SUBSAMPLE, WindowState,
-                                                empty_window, window_scan_step)
+from glim_tpu.odometry.keyframe_manager import KeyframeManager
+from glim_tpu.odometry.window_estimator import (
+    OLD_SUBSAMPLE, STATUS_DROT, STATUS_DTRANS, STATUS_ERR, STATUS_FINITE,
+    STATUS_LOGDET, STATUS_OVERLAP, STATUS_POSES, WindowState, empty_window,
+    window_scan_step)
 from glim_tpu.ops import covariance as cov_ops
 from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.types import EstimationFrame, FrameID, PointBatch, PreprocessedFrame
@@ -41,6 +49,22 @@ from glim_tpu.utils.registry import register_module
 logger = create_module_logger("odom")
 
 GRAVITY = np.array([0.0, 0.0, -9.80665])
+
+# Window capacity buckets (compile cache classes). smoother_lag at the
+# nominal 10 Hz scan rate picks the smallest bucket >= lag * 10, so the
+# default 5 s lag runs a 48-state window (reference: ~50 states,
+# odometry_estimation_imu.cpp:343-355); eviction inside the bucket is
+# time-based, so slower scan rates still honor the lag exactly.
+WINDOW_BUCKETS = (8, 12, 16, 24, 32, 48)
+NOMINAL_SCAN_HZ = 10.0
+
+
+def _window_bucket(smoother_lag: float) -> int:
+    want = int(np.ceil(smoother_lag * NOMINAL_SCAN_HZ))
+    for b in WINDOW_BUCKETS:
+        if b >= want:
+            return b
+    return WINDOW_BUCKETS[-1]
 
 
 @dataclass
@@ -53,7 +77,7 @@ class OdometryEstimationIMUParams:
     smoother_lag: float = 5.0
     fix_imu_bias: bool = False
     compute_covs: bool = False
-    window_size: int = 4
+    window_size: Optional[int] = None       # None -> bucket from smoother_lag
     outer_iterations: int = 2
     inner_iterations: int = 2
     # Voxel params
@@ -72,6 +96,7 @@ class OdometryEstimationIMUParams:
     keyframe_max_overlap: float = 0.7
     keyframe_delta_trans: float = 2.0
     keyframe_delta_rot: float = 0.5
+    keyframe_entropy_thresh: float = 0.99
     # Sensors
     imu_acc_noise: float = 0.05
     imu_gyro_noise: float = 0.02
@@ -95,6 +120,10 @@ class OdometryEstimationIMUParams:
         p.smoother_lag = g("smoother_lag", 5.0)
         p.fix_imu_bias = g("fix_imu_bias", False)
         p.compute_covs = g("compute_covs", False)
+        ws = g("window_size", 0)
+        p.window_size = int(ws) if ws else None
+        p.outer_iterations = int(g("outer_iterations", 2))
+        p.inner_iterations = int(g("inner_iterations", 2))
         p.voxel_resolution = g("voxel_resolution", 0.25)
         p.voxel_resolution_max = g("voxel_resolution_max", p.voxel_resolution)
         p.voxel_resolution_dmin = g("voxel_resolution_dmin", 5.0)
@@ -108,9 +137,12 @@ class OdometryEstimationIMUParams:
         p.keyframe_max_overlap = g("keyframe_max_overlap", 0.7)
         p.keyframe_delta_trans = g("keyframe_delta_trans", 2.0)
         p.keyframe_delta_rot = g("keyframe_delta_rot", 0.5)
+        p.keyframe_entropy_thresh = g("keyframe_entropy_thresh", 0.99)
         p.validate_imu = g("validate_imu", True)
         p.save_imu_rate_trajectory = g("save_imu_rate_trajectory", False)
         p.imu_window_capacity = int(g("imu_window_capacity", 256))
+        p.matching_weight = g("matching_weight", 1.0)
+        p.bootstrap_frames = int(g("bootstrap_frames", 5))
         if sensors_config is not None:
             s = lambda k, d: sensors_config.param("sensors", k, d)
             p.imu_acc_noise = s("imu_acc_noise", 0.05)
@@ -126,21 +158,28 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         self.params = params or OdometryEstimationIMUParams()
         p = self.params
         self.T_lidar_imu = np.eye(4) if p.T_lidar_imu is None else np.asarray(p.T_lidar_imu)
-        self.W = p.window_size
+        self.W = p.window_size or _window_bucket(p.smoother_lag)
 
         # Multi-resolution keyframe maps (reference: 2-3 levels x scaling
         # factor widen the VGICP convergence basin, gpu.cpp:97-106).
-        self.model = tuple(
-            vmx.empty_gaussian_voxelmap(max(p.voxel_capacity >> lvl, 8192),
-                                        p.voxel_resolution * (p.voxelmap_scaling_factor ** lvl))
-            for lvl in range(max(p.voxelmap_levels, 1)))
-        self.window: Optional[WindowState] = None   # lazy (needs capacity)
+        self._model_caps = [max(p.voxel_capacity >> lvl, 8192)
+                            for lvl in range(max(p.voxelmap_levels, 1))]
+        self._model_res = [p.voxel_resolution * (p.voxelmap_scaling_factor ** lvl)
+                           for lvl in range(max(p.voxelmap_levels, 1))]
+        self.model = self._make_model()
+        self._matching = "vgicp"            # window_scan_step matching mode
+        self._max_corr_dist = 2.0           # used by the "gicp" mode only
+        self.keyframes: Optional[KeyframeManager] = None  # lazy (needs C)
+        self.window: Optional[WindowState] = None          # lazy (needs C)
         self._est_frames: List[EstimationFrame] = []
 
         self.imu_buffer: List[np.ndarray] = []   # rows [t, ax..az, wx..wz]
         self._init_odom = None
         self._init_poses: List = []
         self._pending_status = None
+        self._pending_frame: Optional[EstimationFrame] = None
+        self._last_state_covs = None
+        self._covs_requested = bool(p.compute_covs)
         self.initialized = False
         self.frame_count = 0
         self.last_frame_stamp: Optional[float] = None
@@ -149,6 +188,59 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             self.imu_validation = IMUValidation()
         else:
             self.imu_validation = None
+        CB.request_to_compute_covariances.add(self._on_request_covs)
+
+    # -- model hooks (overridden by the cpu-parity frame-to-model variant) --
+
+    def _make_model(self):
+        return tuple(vmx.empty_gaussian_voxelmap(c, r)
+                     for c, r in zip(self._model_caps, self._model_res))
+
+    def _last_kf_pose_dev(self):
+        return self.keyframes.last_kf_T_wi
+
+    def _init_model(self, frame, covs, T_wl_dev, T_wi_dev, T0_host) -> None:
+        """First-frame model seeding: first keyframe = first frame
+        (reference seeds `keyframes` with the first estimation frame)."""
+        p = self.params
+        self.keyframes = KeyframeManager(
+            strategy=p.keyframe_update_strategy,
+            max_num_keyframes=p.max_num_keyframes,
+            min_overlap=p.keyframe_min_overlap,
+            max_overlap=p.keyframe_max_overlap,
+            delta_trans=p.keyframe_delta_trans,
+            delta_rot=p.keyframe_delta_rot,
+            entropy_thresh=p.keyframe_entropy_thresh,
+            C=int(frame.device_points.shape[0]),
+            model_capacities=self._model_caps,
+            model_resolutions=self._model_res)
+        self.keyframes.marginalized_callback = CB.on_marginalized_keyframes
+        self.model = self.keyframes.insert(
+            frame.device_points, covs, frame.device_mask, T_wl_dev, T_wi_dev,
+            T0_host, self.model, 0)
+
+    def _maybe_update_model(self, prev: EstimationFrame, s: np.ndarray) -> None:
+        """Keyframe-strategy decision for the previous frame (its status has
+        landed), then map insert/evict via the manager."""
+        kfm = self.keyframes
+        force = prev.id < self.params.bootstrap_frames
+        if force or kfm.should_insert(float(s[STATUS_OVERLAP]),
+                                      float(s[STATUS_DTRANS]),
+                                      float(s[STATUS_DROT]),
+                                      float(s[STATUS_LOGDET])):
+            T_opt = s[STATUS_POSES + 19:STATUS_POSES + 35].reshape(4, 4)
+            self.model = kfm.insert(
+                prev.frame.points, prev.frame.covs, prev.frame.mask,
+                prev.device_T_world_lidar,
+                prev.custom_data["device_T_world_imu"],
+                T_opt, self.model, prev.id)
+            CB.on_update_keyframes(list(np.where(kfm.h_order >= 0)[0]))
+
+    def _on_request_covs(self, *args) -> None:
+        """Service slot: switch to the covariance-producing program variant
+        (reference: request_to_compute_covariances -> marginal covariances,
+        odometry/callbacks.hpp:144, odometry_estimation_imu.cpp:399-428)."""
+        self._covs_requested = True
 
     def requires_imu(self) -> bool:
         return True
@@ -171,11 +263,19 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             self.last_frame_stamp = frame.stamp
             return self._est_frames[-1]
 
+        # Keyframe decision for the PREVIOUS frame (its status has landed);
+        # must run BEFORE this scan's dispatch so the map includes it.
+        self._process_status()
+
         imu_args = self._imu_window(self.last_frame_stamp, frame.stamp,
                                     frame.scan_end_time)
 
-        bootstrap = self.frame_count < p.bootstrap_frames
-        self.window, self.model, out = window_scan_step(
+        # Host-side eviction decision (mirrors the device ring exactly).
+        evict = len(self._est_frames) >= 2 and (
+            len(self._est_frames) == self.W
+            or self._est_frames[0].stamp < frame.stamp - p.smoother_lag)
+
+        self.window, out = window_scan_step(
             self.window, self.model,
             frame.device_points, frame.device_times, frame.device_mask,
             frame.device_neighbors, *imu_args,
@@ -184,19 +284,19 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             jnp.asarray(GRAVITY, jnp.float32),
             jnp.float32(p.imu_acc_noise), jnp.float32(p.imu_gyro_noise),
             jnp.float32(p.imu_int_noise),
-            # Bias random-walk stiffness: the density-exact 1/sigma^2 walk
-            # freezes initialization errors in a short window (the reference
-            # amortizes them over a 5 s / ~50-state smoother lag); 1/sqrt(s)
-            # keeps the walk tight while letting the window absorb init error.
+            # Bias random-walk stiffness: 1/sqrt(sigma) rather than the
+            # density-exact 1/sigma^2 — the window absorbs initialization
+            # error instead of freezing it (validated in the window study).
             jnp.full(6, 1.0 / max(np.sqrt(p.imu_bias_noise), 1e-6), jnp.float32),
-            jnp.float32(p.matching_weight), jnp.float32(p.keyframe_max_overlap),
+            jnp.float32(p.matching_weight), jnp.asarray(evict),
+            self._last_kf_pose_dev(), jnp.float32(self._max_corr_dist),
             W=self.W, outer_iters=p.outer_iterations,
-            inner_iters=p.inner_iterations, bootstrap=bootstrap)
+            inner_iters=p.inner_iterations,
+            compute_covs=self._covs_requested, matching=self._matching)
         CB.on_smoother_update(self)
 
-        # Marginalization bookkeeping: the step evicted the oldest state iff
-        # the ring was full before this insert.
-        if len(self._est_frames) == self.W:
+        # Marginalization bookkeeping: mirrors the device-side eviction.
+        if evict:
             marg_est = self._est_frames.pop(0)
             marg_est.device_T_world_lidar = out["marg"]["T_wl"]
             marg_est._T_world_lidar = None
@@ -205,6 +305,10 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             marg_est._v_world_imu = None
             marg_est.device_imu_bias = out["marg"]["b"]
             marg_est._imu_bias = None
+            if self._last_state_covs is not None:
+                # The evicted frame sat at slot W - n_prev (pre-roll).
+                slot = self.W - (len(self._est_frames) + 1)
+                self._attach_covs(marg_est, self._last_state_covs[slot])
             CB.on_marginalized_frames([marg_est])
             if marginalized is not None:
                 marginalized.append(marg_est)
@@ -220,6 +324,10 @@ class OdometryEstimationIMU(OdometryEstimationBase):
                              times=frame.device_times, covs=out["covs"],
                              normals=out["normals"]),
             raw_frame=frame)
+        est.custom_data["device_T_world_imu"] = out["T_wi"]
+        if "state_covs" in out:
+            self._last_state_covs = out["state_covs"]
+            self._attach_covs(est, out["state_covs"][self.W - 1])
         if p.save_imu_rate_trajectory:
             stamps_t, quats_t, trans_t = out["pose_table"]
             q_np = np.asarray(quats_t)
@@ -231,11 +339,11 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         CB.on_update_frames(self._est_frames)
         CB.on_smoother_update_finish(self)
 
-        # Process LAST scan's status (its transfer has landed by now): the
-        # corruption flag + IMU-validation inputs lag one scan by design.
-        self._process_status()
+        # Stash this scan's status; it is decoded when the NEXT scan arrives
+        # (the transfer has landed by then — no blocking sync per scan).
         self._pending_status = (out["status"], frame.stamp,
                                 frame.stamp - self.last_frame_stamp)
+        self._pending_frame = est
 
         self.frame_count += 1
         self.last_frame_stamp = frame.stamp
@@ -258,24 +366,37 @@ class OdometryEstimationIMU(OdometryEstimationBase):
 
     # -- internals --
 
+    @staticmethod
+    def _attach_covs(est: EstimationFrame, cov15) -> None:
+        est.cov_pose = cov15[:6, :6]        # device-backed, fetched lazily
+        est.cov_velocity = cov15[6:9, 6:9]
+        est.cov_bias = cov15[9:15, 9:15]
+
     def _process_status(self) -> None:
+        """Decode the previous scan's status: corruption check, IMU
+        validation, and the keyframe-strategy decision for that frame."""
         if self._pending_status is None:
             return
         status, stamp, dt = self._pending_status
+        prev = self._pending_frame
         self._pending_status = None
+        self._pending_frame = None
         s = np.asarray(status)
-        finite = s[0] > 0.5
+        finite = s[STATUS_FINITE] > 0.5
         if not finite:
             logger.error("window optimization corrupted at %.3f; IMU-prediction "
                          "fallback engaged", stamp)
             CB.on_smoother_corruption(stamp)
         if self.imu_validation is not None and finite:
-            T_pred = np.eye(4)
-            T_pred[:] = s[4:20].reshape(4, 4)
-            v_pred = s[20:23]
-            T_opt = s[23:39].reshape(4, 4)
-            v_opt = s[39:42]
+            T_pred = s[STATUS_POSES:STATUS_POSES + 16].reshape(4, 4)
+            v_pred = s[STATUS_POSES + 16:STATUS_POSES + 19]
+            T_opt = s[STATUS_POSES + 19:STATUS_POSES + 35].reshape(4, 4)
+            v_opt = s[STATUS_POSES + 35:STATUS_POSES + 38]
             self.imu_validation.validate(T_pred, v_pred, T_opt, v_opt, dt)
+
+        if prev is None or not finite:
+            return
+        self._maybe_update_model(prev, s)
 
     def _imu_window(self, t_prev: float, t_scan: float, t_end: float):
         """Padded IMU arrays covering (t_prev, t_end], stamps relative to
@@ -366,6 +487,9 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             covs=win.covs.at[W - 1].set(covs[::OLD_SUBSAMPLE]),
             mask=win.mask.at[W - 1].set(frame.device_mask[::OLD_SUBSAMPLE]),
             preints=win.preints,
+            m_H=win.m_H, m_g=win.m_g, m_e=win.m_e,
+            m_Tlin=win.m_Tlin.at[W - 1].set(T0_d),
+            m_valid=win.m_valid,
             H_prior=jnp.eye(15) * p.init_pose_damping_scale,
             b_prior=jnp.zeros(15),
             T_anchor=T0_d,
@@ -374,13 +498,8 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             H_marg=jnp.zeros((30, 30)), b_marg=jnp.zeros(30),
             step=jnp.int32(0))
 
-        # Seed the keyframe maps with the first frame.
         T_wl = T0_d @ jnp.asarray(np.linalg.inv(self.T_lidar_imu), jnp.float32)
-        w_pts = frame.device_points @ T_wl[:3, :3].T + T_wl[:3, 3]
-        covs_w = jnp.einsum("ij,cjk,lk->cil", T_wl[:3, :3], covs, T_wl[:3, :3])
-        self.model = tuple(
-            vmx.voxelmap_insert(vm, w_pts, frame.device_mask, covs_w, jnp.int32(0))
-            for vm in self.model)
+        self._init_model(frame, covs, T_wl, T0_d, np.asarray(T0, np.float64))
 
         est = EstimationFrame(
             id=0, stamp=frame.stamp, T_lidar_imu=self.T_lidar_imu.copy(),
@@ -390,12 +509,14 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             raw_frame=frame)
         est.v_world_imu = v0
         est.imu_bias = b0
+        est.custom_data["device_T_world_imu"] = T0_d
         self._est_frames.append(est)
         self.initialized = True
         self._init_odom = None
         self.frame_count = 1
-        logger.info("initialized (%s): |v|=%.2f bias=%s",
-                    p.initialization_mode, np.linalg.norm(v0), b0.round(4))
+        logger.info("initialized (%s): |v|=%.2f bias=%s W=%d",
+                    p.initialization_mode, np.linalg.norm(v0), b0.round(4),
+                    self.W)
         return True
 
 

@@ -3,23 +3,37 @@
 This is the TPU replacement for the reference's fixed-lag smoother loop
 (reference: src/glim/odometry/odometry_estimation_imu.cpp:35-457 — iSAM2
 incremental factorization over X/V/B states with IMU + matching-cost
-factors). Incremental sparse factorization is hostile to XLA (SURVEY.md §7
-hard part 1); instead the ENTIRE per-scan step is ONE fused device program
-over a ring-buffer state:
+factors, marginalized by time at ``smoother_lag``,
+odometry_estimation_imu.cpp:343-355). Incremental sparse factorization is
+hostile to XLA (SURVEY.md §7 hard part 1); instead the ENTIRE per-scan step
+is ONE fused device program over a ring-buffer state:
 
   preintegrate IMU -> predict -> IMU-rate deskew -> covariances ->
-  marginalize the oldest state (Schur prior) -> insert the new state ->
-  batch GN over W states (15 dof each) -> keyframe-gated model insert
+  marginalize the oldest state (Schur prior; by ring overflow OR by
+  ``smoother_lag`` age) -> insert the new state -> batch GN over W states
+  (15 dof each) -> freeze the newest matching linearization
 
-Performance-critical asymmetry: the NEWEST frame matches at full resolution
-with correspondences re-searched every outer iteration; OLDER in-window
-frames match a 4x-subsampled copy with correspondences refreshed once per
-scan — they only stabilize the window, so precision lives in the newest
-factor while lookup cost (the dominant term: binary search + stats gathers)
-drops ~4x. The host dispatches one step per scan and never blocks; status
-(corruption flags, errors, prediction-vs-optimized for IMU validation) comes
-back as a small packed vector fetched one scan late, when its transfer has
-already completed.
+The window capacity W is config-driven (``smoother_lag`` x scan rate,
+bucketed to avoid recompiles) and the per-scan cost is nearly INDEPENDENT
+of W, mirroring iSAM2's lazy relinearization:
+
+  * The newest state matches the keyframe map live, at full resolution,
+    with correspondences re-searched every outer iteration.
+  * Every OLDER in-window state carries a FROZEN matching linearization —
+    the 6x6 Gauss-Newton system (H, g, e) of its scan vs the map, stored at
+    the pose it was last linearized at.  In the window GN it contributes
+    H and the first-order-corrected gradient g + H*log(T_lin^-1 T), exactly
+    the quadratic model iSAM2 keeps for unrelinearized factors.
+  * One older state per scan is RE-linearized round-robin against the
+    current map from its stored (subsampled) points, bounding staleness at
+    W scans (the analogue of iSAM2's relinearization threshold sweep).
+
+All per-state factor systems (IMU, bias walk, frozen matching) are vmapped
+and scatter-added into the dense window Hessian, so the program size does
+not grow with W.  The host dispatches one step per scan and never blocks;
+status (corruption flags, errors, keyframe-strategy inputs) comes back as a
+small packed vector fetched one scan late, when its transfer has already
+completed.
 
 States are right-aligned in the ring: the newest is always slot W-1; slots
 fill from the right during warmup and the marginalization prior tracks the
@@ -41,40 +55,58 @@ from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.ops.imu import PreintegratedImu
 
 STATE_DIM = 15      # [pose (6), velocity (3), bias (6)]
-OLD_SUBSAMPLE = 4   # older frames match every 4th point
+OLD_SUBSAMPLE = 4   # older frames keep every 4th point for relinearization
+
+# Status vector layout (host side decodes by these offsets).
+STATUS_FINITE = 0
+STATUS_ERR = 1
+STATUS_OVERLAP = 2
+STATUS_MARGINALIZED = 3
+STATUS_LOGDET = 4      # log|H| of the newest live matching block (ENTROPY)
+STATUS_DTRANS = 5      # displacement vs the given last-keyframe pose
+STATUS_DROT = 6
+STATUS_POSES = 7       # then: T_pred (16), v_pred (3), T_opt (16), v_opt (3)
+STATUS_LEN = STATUS_POSES + 38
 
 
 @jax.tree_util.register_dataclass
 @dataclass
 class WindowState:
     """Ring buffer of the W most recent states + frames + marginalization
-    prior + the last window Hessian (for the next Schur complement)."""
+    prior + frozen per-state matching linearizations."""
 
     T: jnp.ndarray        # (W, 4, 4) T_world_imu
     v: jnp.ndarray        # (W, 3)
     b: jnp.ndarray        # (W, 6) [ba, bg]
     stamp: jnp.ndarray    # (W,)
     valid: jnp.ndarray    # (W,) bool
-    # Subsampled frame ring for the older-frame matching factors.
+    # Subsampled frame ring for round-robin relinearization.
     pts: jnp.ndarray      # (W, Cs, 3) lidar-frame deskewed points
     covs: jnp.ndarray     # (W, Cs, 3, 3)
     mask: jnp.ndarray     # (W, Cs)
     # Preintegration ring: entry k connects state k -> k+1.
     preints: PreintegratedImu   # stacked (W-1, ...)
+    # Frozen matching linearization per state (IMU-pose tangent coords):
+    # gradient-convention 6x6 system at linearization pose m_Tlin.
+    m_H: jnp.ndarray      # (W, 6, 6)
+    m_g: jnp.ndarray      # (W, 6)
+    m_e: jnp.ndarray      # (W,)
+    m_Tlin: jnp.ndarray   # (W, 4, 4)
+    m_valid: jnp.ndarray  # (W,) bool
     # Dense prior on the oldest valid state.
     H_prior: jnp.ndarray      # (15, 15)
     b_prior: jnp.ndarray      # (15,)
     T_anchor: jnp.ndarray     # (4, 4)
     v_anchor: jnp.ndarray     # (3,)
     b_anchor: jnp.ndarray     # (6,)
-    # Marginalization system over [state0 | state1] built from ONLY the
-    # factors incident to state 0 (prior, IMU 0-1, bias walk 0-1,
-    # matching(0)) at the last optimized estimate — Schur-complemented into
-    # the new prior at the next insert. Using the full window Hessian here
-    # would double-count still-active factors that get re-linearized.
+    # Marginalization system over [oldest | oldest+1] built from ONLY the
+    # factors incident to the oldest state (prior, IMU, bias walk, frozen
+    # matching) at the last optimized estimate — Schur-complemented into
+    # the new prior at the next eviction. Using the full window Hessian
+    # here would double-count still-active factors that get re-linearized.
     H_marg: jnp.ndarray       # (30, 30)
     b_marg: jnp.ndarray       # (30,)
-    step: jnp.ndarray         # () int32 monotone scan counter (LRU stamps)
+    step: jnp.ndarray         # () int32 monotone scan counter
 
 
 def _zero_preints(W: int) -> PreintegratedImu:
@@ -99,6 +131,11 @@ def empty_window(W: int, C_sub: int) -> WindowState:
         covs=jnp.zeros((W, C_sub, 3, 3)),
         mask=jnp.zeros((W, C_sub), bool),
         preints=_zero_preints(W),
+        m_H=jnp.zeros((W, 6, 6)),
+        m_g=jnp.zeros((W, 6)),
+        m_e=jnp.zeros(W),
+        m_Tlin=jnp.tile(jnp.eye(4), (W, 1, 1)),
+        m_valid=jnp.zeros(W, bool),
         H_prior=jnp.zeros((STATE_DIM, STATE_DIM)),
         b_prior=jnp.zeros(STATE_DIM),
         T_anchor=jnp.eye(4),
@@ -148,8 +185,66 @@ def _imu_factor_system(T_i, v_i, T_j, v_j, b_i, pre: PreintegratedImu, gravity):
     return J.T @ info_J, J.T @ info_r, r @ info_r
 
 
+def _frozen_matching_system(T, m_H, m_g, m_e, m_Tlin, w):
+    """Evaluate one frozen matching linearization at pose T.
+
+    The stored (H, g, e) is the gradient-convention GN system of the scan's
+    matching cost at m_Tlin; at displacement xi = log(Tlin^-1 T) the
+    quadratic model gives gradient g + H xi and error e + 2 g.xi + xi.H.xi
+    (iSAM2's kept linearization for factors below the relin threshold)."""
+    xi = lie.se3_log(lie.se3_inv(m_Tlin) @ T)
+    g = m_g + m_H @ xi
+    e = m_e + 2.0 * (m_g @ xi) + xi @ m_H @ xi
+    return w * m_H, w * g, w * e
+
+
+def _build_pair_system(T_c, v_c, b_c, valid, pre_ring, j,
+                       T_anchor, v_anchor, b_anchor, H_prior, b_prior,
+                       m_H, m_g, m_e, m_Tlin, m_valid,
+                       bias_rw_info, gravity):
+    """GN system over [state_j | state_{j+1}] from ONLY the factors incident
+    to state j (prior, IMU j->j+1, bias walk, frozen matching(j)), at the
+    given estimate — the next eviction Schur-complements this."""
+    take = lambda a: jnp.take(a, j, axis=0)
+    take1 = lambda a: jnp.take(a, j + 1, axis=0)
+    Tj, vj, bj = take(T_c), take(v_c), take(b_c)
+    Tj1, vj1, bj1 = take1(T_c), take1(v_c), take1(b_c)
+    pre_j = jax.tree_util.tree_map(lambda x: jnp.take(x, jnp.minimum(j, x.shape[0] - 1), axis=0), pre_ring)
+
+    Hm = jnp.zeros((2 * STATE_DIM, 2 * STATE_DIM))
+    bm = jnp.zeros(2 * STATE_DIM)
+    w_pair = (take(valid) & take1(valid)).astype(jnp.float32)
+
+    Hp, bp, _ = _prior_system(Tj, vj, bj, T_anchor, v_anchor, b_anchor,
+                              H_prior, b_prior)
+    Hm = Hm.at[:15, :15].add(w_pair * Hp)
+    bm = bm.at[:15].add(w_pair * bp)
+
+    ok = w_pair * (pre_j.dt > 1e-6).astype(jnp.float32)
+    Hi, bi, _ = _imu_factor_system(Tj, vj, Tj1, vj1, bj, pre_j, gravity)
+    Hm = Hm + ok * Hi
+    bm = bm + ok * bi
+
+    r_b = bj1 - bj
+    info = bias_rw_info / jnp.maximum(pre_j.dt, 1e-3)
+    Hb = jnp.diag(info)
+    Hm = Hm.at[9:15, 9:15].add(ok * Hb)
+    Hm = Hm.at[24:30, 24:30].add(ok * Hb)
+    Hm = Hm.at[9:15, 24:30].add(-ok * Hb)
+    Hm = Hm.at[24:30, 9:15].add(-ok * Hb)
+    bm = bm.at[9:15].add(-ok * info * r_b)
+    bm = bm.at[24:30].add(ok * info * r_b)
+
+    w_m = w_pair * take(m_valid).astype(jnp.float32)
+    Hf, gf, _ = _frozen_matching_system(Tj, take(m_H), take(m_g), take(m_e),
+                                        take(m_Tlin), w_m)
+    Hm = Hm.at[:6, :6].add(Hf)
+    bm = bm.at[:6].add(gf)
+    return Hm, bm
+
+
 @partial(jax.jit, static_argnames=("W", "outer_iters", "inner_iters",
-                                   "bootstrap"))
+                                   "compute_covs", "matching"))
 def window_scan_step(win: WindowState, vms,
                      # raw scan (full resolution, lidar frame, NOT deskewed)
                      scan_pts, scan_times, scan_mask, scan_neighbors,
@@ -158,15 +253,38 @@ def window_scan_step(win: WindowState, vms,
                      imu_acc, imu_gyro, imu_stamps_rel, imu_dts, imu_mask,
                      scan_stamp, T_lidar_imu, gravity,
                      acc_noise, gyro_noise, int_noise, bias_rw_info,
-                     matching_weight, keyframe_max_overlap,
+                     matching_weight, force_evict, T_last_keyframe,
+                     max_corr_dist=jnp.float32(2.0),
                      *, W: int, outer_iters: int = 2, inner_iters: int = 2,
-                     bootstrap: bool = False):
-    """One fused odometry step. Returns (win', vms', outputs dict)."""
+                     compute_covs: bool = False, matching: str = "vgicp"):
+    """One fused odometry step. Returns (win', outputs dict).
+
+    The model update is NOT part of this program (the host decides keyframe
+    insertion from the lagged status via keyframe_manager.py — or, for the
+    cpu-parity module, inserts a random sample every scan — and dispatches
+    the map ops separately); ``vms`` is read-only here:
+      matching="vgicp": tuple of multi-resolution GaussianVoxelMaps
+      matching="gicp":  one PointVoxelMap (iVox role), NN correspondences
+                        capped at max_corr_dist (reference
+                        odometry_estimation_cpu.cpp:98-104)."""
     from glim_tpu.ops import covariance as cov_ops
 
-    if isinstance(vms, vmx.GaussianVoxelMap):
-        vms = (vms,)
-    L = len(vms)
+    if matching == "gicp":
+        pm = vms
+
+        def lookup_all(T_wl, pts, mask):
+            from glim_tpu.ops.pallas_knn import nn_search
+            q = pts @ T_wl[:3, :3].T + T_wl[:3, 3]
+            idx, d2 = nn_search(q, mask, pm.points, pm.mask)
+            hit = mask & (d2 < max_corr_dist * max_corr_dist) & jnp.isfinite(d2)
+            return [(pm.points[idx], pm.covs[idx], hit)]
+    else:
+        if isinstance(vms, vmx.GaussianVoxelMap):
+            vms = (vms,)
+
+        def lookup_all(T_wl, pts, mask):
+            return [gicp.vgicp_lookup(jnp.eye(4), T_wl, pts, mask, vm)
+                    for vm in vms]
     D = W * STATE_DIM
     T_imu_lidar = lie.se3_inv(T_lidar_imu)
     Ad = lie.se3_adjoint(lie.se3_inv(T_imu_lidar))
@@ -206,26 +324,35 @@ def window_scan_step(win: WindowState, vms,
     covs_new, normals_new = cov_ops.estimate_covariances(
         deskewed, scan_mask, scan_neighbors, "plane")
 
-    # --- 3. marginalize the oldest state (if the ring is full) + roll ---
-    was_full = win.valid[0]
-    marg_T_wi = win.T[0]
-    marg_T_wl = marg_T_wi @ T_imu_lidar
-    marg_v = win.v[0]
-    marg_b = win.b[0]
-    marg_stamp = win.stamp[0]
+    # --- 3. evict the oldest state (ring overflow OR smoother_lag age).
+    # The decision is made ON THE HOST (deterministically, from the same
+    # stamps) and passed in, so host frame bookkeeping never needs a sync
+    # and can never diverge from the device by f32/f64 rounding. ---
+    j_old = jnp.argmax(win.valid)            # oldest valid slot (pre-roll)
+    n_valid = jnp.sum(win.valid)
+    evict = (n_valid >= 2) & force_evict
 
-    # Schur prior from the stored state-0-incident system: reorder
-    # [state1 | state0], marginalize the trailing 15 dof (with gradient).
+    take_old = lambda a: jnp.take(a, j_old, axis=0)
+    marg_T_wi = take_old(win.T)
+    marg_T_wl = marg_T_wi @ T_imu_lidar
+    marg_v = take_old(win.v)
+    marg_b = take_old(win.b)
+    marg_stamp = take_old(win.stamp)
+
+    # Schur prior from the stored oldest-pair system: reorder
+    # [state_{j+1} | state_j], marginalize the trailing 15 dof (w/ gradient).
     keep = jnp.concatenate([jnp.arange(STATE_DIM, 2 * STATE_DIM),
                             jnp.arange(0, STATE_DIM)])
     H2 = win.H_marg[jnp.ix_(keep, keep)]
     b2 = win.b_marg[keep]
     H_schur, b_schur = solver.schur_marginalize(H2, b2, STATE_DIM)
-    H_prior_n = jnp.where(was_full, H_schur, win.H_prior)
-    b_prior_n = jnp.where(was_full, b_schur, win.b_prior)
-    T_anchor_n = jnp.where(was_full, win.T[1], win.T_anchor)
-    v_anchor_n = jnp.where(was_full, win.v[1], win.v_anchor)
-    b_anchor_n = jnp.where(was_full, win.b[1], win.b_anchor)
+    take_old1 = lambda a: jnp.take(a, jnp.minimum(j_old + 1, W - 1), axis=0)
+    H_prior_n = jnp.where(evict, H_schur, win.H_prior)
+    b_prior_n = jnp.where(evict, b_schur, win.b_prior)
+    T_anchor_n = jnp.where(evict, take_old1(win.T), win.T_anchor)
+    v_anchor_n = jnp.where(evict, take_old1(win.v), win.v_anchor)
+    b_anchor_n = jnp.where(evict, take_old1(win.b), win.b_anchor)
+    valid_pre = win.valid & ~(evict & (jnp.arange(W) == j_old))
 
     roll = lambda a: jnp.roll(a, -1, axis=0)
     sub_pts = deskewed[::OLD_SUBSAMPLE]
@@ -236,21 +363,63 @@ def window_scan_step(win: WindowState, vms,
     v_r = roll(win.v).at[W - 1].set(v_pred)
     b_r = roll(win.b).at[W - 1].set(b_prev)
     stamp_r = roll(win.stamp).at[W - 1].set(scan_stamp)
-    valid_r = roll(win.valid).at[W - 1].set(True)
+    valid_r = roll(valid_pre).at[W - 1].set(True)
     pts_r = roll(win.pts).at[W - 1].set(sub_pts)
     covs_r = roll(win.covs).at[W - 1].set(sub_covs)
     mask_r = roll(win.mask).at[W - 1].set(sub_mask)
     pre_r = jax.tree_util.tree_map(
         lambda rbuf, new: roll(rbuf).at[W - 2].set(new), win.preints, pre_new)
+    mH_r = roll(win.m_H)
+    mg_r = roll(win.m_g)
+    me_r = roll(win.m_e)
+    mT_r = roll(win.m_Tlin).at[W - 1].set(T_pred)
+    mv_r = roll(win.m_valid).at[W - 1].set(False)
 
-    prior_idx = jnp.argmax(valid_r)  # oldest valid slot
+    prior_idx = jnp.argmax(valid_r)  # oldest valid slot (post-roll)
+
+    # --- 3b. round-robin relinearization of ONE older state against the
+    # current map (bounds frozen-system staleness at ~W scans) ---
+    n_old = jnp.maximum(jnp.sum(valid_r) - 1, 1)
+    k_rr = W - 1 - 1 - (win.step % n_old)      # walks the older valid slots
+    T_wl_rr = jnp.take(T_r, k_rr, axis=0) @ T_imu_lidar
+    pts_rr = jnp.take(pts_r, k_rr, axis=0)
+    covs_rr = jnp.take(covs_r, k_rr, axis=0)
+    mask_rr = jnp.take(mask_r, k_rr, axis=0) & jnp.take(valid_r, k_rr)
+    Hrr = jnp.zeros((6, 6))
+    grr = jnp.zeros(6)
+    err_rr = jnp.zeros(())
+    for mu, Ct, hit in lookup_all(T_wl_rr, pts_rr, mask_rr):
+        sys_rr = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl_rr, pts_rr,
+                                             covs_rr, mu, Ct, hit)
+        Hrr = Hrr + sys_rr.H_ss
+        grr = grr + sys_rr.b_s
+        err_rr = err_rr + sys_rr.error
+    w_rr = OLD_SUBSAMPLE * matching_weight
+    Hrr = w_rr * (Ad.T @ Hrr @ Ad)
+    grr = w_rr * (Ad.T @ grr)
+    err_rr = w_rr * err_rr
+    do_rr = jnp.take(valid_r, k_rr) & (k_rr < W - 1)
+    sel = (jnp.arange(W) == k_rr) & do_rr
+    mH_r = jnp.where(sel[:, None, None], Hrr, mH_r)
+    mg_r = jnp.where(sel[:, None], grr, mg_r)
+    me_r = jnp.where(sel, err_rr, me_r)
+    mT_r = jnp.where(sel[:, None, None], jnp.take(T_r, k_rr, axis=0), mT_r)
+    mv_r = jnp.where(sel, True, mv_r)
 
     # --- 4. batch GN over the window ---
-    def linearize(T, v, b, corr_old, corr_new):
+    rows30 = (jnp.arange(W - 1)[:, None] * STATE_DIM
+              + jnp.arange(2 * STATE_DIM)[None, :])       # (W-1, 30)
+    rows6 = (jnp.arange(W)[:, None] * STATE_DIM
+             + jnp.arange(6)[None, :])                    # (W, 6)
+    pair_ok = (valid_r[:-1] & valid_r[1:]
+               & (pre_r.dt > 1e-6)).astype(jnp.float32)   # (W-1,)
+    walk_info = bias_rw_info[None, :] / jnp.maximum(pre_r.dt, 1e-3)[:, None]
+
+    def linearize(T, v, b, corr_new):
         H = jnp.zeros((D, D))
         g = jnp.zeros(D)
-        err = jnp.zeros(())
 
+        # Prior on the oldest valid state.
         Hp, bp, ep = _prior_system(T[prior_idx], v[prior_idx], b[prior_idx],
                                    T_anchor_n, v_anchor_n, b_anchor_n,
                                    H_prior_n, b_prior_n)
@@ -259,74 +428,65 @@ def window_scan_step(win: WindowState, vms,
             H, jax.lax.dynamic_slice(H, (s0, s0), (15, 15)) + Hp, (s0, s0))
         g = jax.lax.dynamic_update_slice(
             g, jax.lax.dynamic_slice(g, (s0,), (15,)) + bp, (s0,))
-        err = err + ep
+        err = ep
 
-        for k in range(W - 1):
-            pre_k = jax.tree_util.tree_map(lambda x: x[k], pre_r)
-            ok = valid_r[k] & valid_r[k + 1] & (pre_k.dt > 1e-6)
-            w_k = ok.astype(jnp.float32)
-            Hk, bk, ek = _imu_factor_system(T[k], v[k], T[k + 1], v[k + 1],
-                                            b[k], pre_k, gravity)
-            s = k * STATE_DIM
-            H = H.at[s:s + 30, s:s + 30].add(w_k * Hk)
-            g = g.at[s:s + 30].add(w_k * bk)
-            err = err + w_k * ek
+        # IMU factors k -> k+1, vmapped then scatter-added.
+        Hk, bk, ek = jax.vmap(_imu_factor_system, in_axes=(0, 0, 0, 0, 0, 0, None))(
+            T[:-1], v[:-1], T[1:], v[1:], b[:-1], pre_r, gravity)
+        H = H.at[rows30[:, :, None], rows30[:, None, :]].add(
+            pair_ok[:, None, None] * Hk)
+        g = g.at[rows30].add(pair_ok[:, None] * bk)
+        err = err + jnp.sum(pair_ok * ek)
 
-            # Bias random walk.
-            r_b = b[k + 1] - b[k]
-            info = bias_rw_info / jnp.maximum(pre_k.dt, 1e-3)
-            Hb = jnp.diag(info)
-            bi = s + 9
-            bj = s + STATE_DIM + 9
-            H = H.at[bi:bi + 6, bi:bi + 6].add(w_k * Hb)
-            H = H.at[bj:bj + 6, bj:bj + 6].add(w_k * Hb)
-            H = H.at[bi:bi + 6, bj:bj + 6].add(-w_k * Hb)
-            H = H.at[bj:bj + 6, bi:bi + 6].add(-w_k * Hb)
-            g = g.at[bi:bi + 6].add(-w_k * info * r_b)
-            g = g.at[bj:bj + 6].add(w_k * info * r_b)
-            err = err + w_k * jnp.sum(info * r_b * r_b)
+        # Bias random walk between consecutive states.
+        r_b = b[1:] - b[:-1]                              # (W-1, 6)
+        wi = pair_ok[:, None] * walk_info
+        bias_rows_i = rows30[:, 9:15]
+        bias_rows_j = rows30[:, 24:30]
+        eye6 = jnp.eye(6)
+        Hb = wi[:, :, None] * eye6[None]
+        H = H.at[bias_rows_i[:, :, None], bias_rows_i[:, None, :]].add(Hb)
+        H = H.at[bias_rows_j[:, :, None], bias_rows_j[:, None, :]].add(Hb)
+        H = H.at[bias_rows_i[:, :, None], bias_rows_j[:, None, :]].add(-Hb)
+        H = H.at[bias_rows_j[:, :, None], bias_rows_i[:, None, :]].add(-Hb)
+        g = g.at[bias_rows_i].add(-wi * r_b)
+        g = g.at[bias_rows_j].add(wi * r_b)
+        err = err + jnp.sum(wi * r_b * r_b)
 
-        # Matching: older frames (subsampled, refreshed once), newest (full).
-        for k in range(W - 1):
-            T_wl = T[k] @ T_imu_lidar
-            w_k = valid_r[k].astype(jnp.float32) * matching_weight * OLD_SUBSAMPLE
-            for lvl in range(L):
-                mu_k, Ct_k, hit_k = corr_old[k][lvl]
-                sys_ = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl, pts_r[k],
-                                                   covs_r[k], mu_k, Ct_k, hit_k)
-                s = k * STATE_DIM
-                H = H.at[s:s + 6, s:s + 6].add(w_k * (Ad.T @ sys_.H_ss @ Ad))
-                g = g.at[s:s + 6].add(w_k * (Ad.T @ sys_.b_s))
-                err = err + w_k * sys_.error
+        # Frozen matching factors on all older states, vmapped.
+        w_frozen = (mv_r & valid_r).astype(jnp.float32) * \
+            (jnp.arange(W) < W - 1).astype(jnp.float32)
+        Hf, gf, ef = jax.vmap(_frozen_matching_system)(
+            T, mH_r, mg_r, me_r, mT_r, w_frozen)
+        H = H.at[rows6[:, :, None], rows6[:, None, :]].add(Hf)
+        g = g.at[rows6].add(gf)
+        err = err + jnp.sum(ef)
+
+        # Live matching for the newest state (full resolution, all levels).
         T_wl_n = T[W - 1] @ T_imu_lidar
-        for lvl in range(L):
-            mu_n, Ct_n, hit_n = corr_new[lvl]
+        s = (W - 1) * STATE_DIM
+        H_live = jnp.zeros((6, 6))
+        for mu_n, Ct_n, hit_n in corr_new:
             sys_ = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl_n, deskewed,
                                                covs_new, mu_n, Ct_n, hit_n)
-            s = (W - 1) * STATE_DIM
-            w_n = matching_weight
-            H = H.at[s:s + 6, s:s + 6].add(w_n * (Ad.T @ sys_.H_ss @ Ad))
-            g = g.at[s:s + 6].add(w_n * (Ad.T @ sys_.b_s))
-            err = err + w_n * sys_.error
-        return H, g, err
-
-    # Once-per-scan refresh for the older frames (the expensive lookups).
-    corr_old = []
-    for k in range(W - 1):
-        T_wl = T_r[k] @ T_imu_lidar
-        corr_old.append([gicp.vgicp_lookup(jnp.eye(4), T_wl, pts_r[k],
-                                           mask_r[k], vm) for vm in vms])
+            H_live = H_live + matching_weight * (Ad.T @ sys_.H_ss @ Ad)
+            g = g.at[s:s + 6].add(matching_weight * (Ad.T @ sys_.b_s))
+            err = err + matching_weight * sys_.error
+        H = H.at[s:s + 6, s:s + 6].add(H_live)
+        return H, g, err, H_live
 
     T_c, v_c, b_c = T_r, v_r, b_r
     err_fin = jnp.zeros(())
+    H_gn = jnp.eye(D)
+    H_live_fin = jnp.eye(6)
     for _ in range(outer_iters):
         T_wl_n = T_c[W - 1] @ T_imu_lidar
-        corr_new = [gicp.vgicp_lookup(jnp.eye(4), T_wl_n, deskewed, scan_mask, vm)
-                    for vm in vms]
+        corr_new = lookup_all(T_wl_n, deskewed, scan_mask)
         for _ in range(inner_iters):
-            H_gn, g, err_fin = linearize(T_c, v_c, b_c, corr_old, corr_new)
+            H_gn, g, err_fin, H_live_fin = linearize(T_c, v_c, b_c, corr_new)
             delta = solver.solve_damped(H_gn, g, jnp.float32(1e-4))
             d = delta.reshape(W, STATE_DIM)
+            d = d * valid_r[:, None]
             T_c = T_c @ lie.se3_exp(d[:, :6])
             v_c = v_c + d[:, 6:9]
             b_c = b_c + d[:, 9:15]
@@ -337,82 +497,80 @@ def window_scan_step(win: WindowState, vms,
     v_c = jnp.where(finite, v_c, v_r)
     b_c = jnp.where(finite, b_c, b_r)
 
-    # --- 5b. build the NEXT marginalization system: only the factors
-    # incident to state 0, linearized at the final estimate ---
-    Hm = jnp.zeros((2 * STATE_DIM, 2 * STATE_DIM))
-    bm = jnp.zeros(2 * STATE_DIM)
-    w01 = (valid_r[0] & valid_r[1]).astype(jnp.float32)
-    # prior (applies to state 0 when the window is full next scan)
-    Hp0, bp0, _ = _prior_system(T_c[0], v_c[0], b_c[0], T_anchor_n,
-                                v_anchor_n, b_anchor_n, H_prior_n, b_prior_n)
-    Hm = Hm.at[:15, :15].add(w01 * Hp0)
-    bm = bm.at[:15].add(w01 * bp0)
-    # IMU factor 0-1
-    pre_0 = jax.tree_util.tree_map(lambda x: x[0], pre_r)
-    ok0 = w01 * (pre_0.dt > 1e-6).astype(jnp.float32)
-    Hi0, bi0, _ = _imu_factor_system(T_c[0], v_c[0], T_c[1], v_c[1], b_c[0],
-                                     pre_0, gravity)
-    Hm = Hm + ok0 * Hi0
-    bm = bm + ok0 * bi0
-    # bias walk 0-1
-    r_b0 = b_c[1] - b_c[0]
-    info0 = bias_rw_info / jnp.maximum(pre_0.dt, 1e-3)
-    Hb0 = jnp.diag(info0)
-    Hm = Hm.at[9:15, 9:15].add(ok0 * Hb0)
-    Hm = Hm.at[24:30, 24:30].add(ok0 * Hb0)
-    Hm = Hm.at[9:15, 24:30].add(-ok0 * Hb0)
-    Hm = Hm.at[24:30, 9:15].add(-ok0 * Hb0)
-    bm = bm.at[9:15].add(-ok0 * info0 * r_b0)
-    bm = bm.at[24:30].add(ok0 * info0 * r_b0)
-    # matching(0) on pose 0
-    T_wl0 = T_c[0] @ T_imu_lidar
-    for lvl in range(L):
-        mu0, Ct0, hit0 = corr_old[0][lvl]
-        sys0 = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl0, pts_r[0],
-                                           covs_r[0], mu0, Ct0, hit0)
-        w0 = w01 * matching_weight * OLD_SUBSAMPLE
-        Hm = Hm.at[:6, :6].add(w0 * (Ad.T @ sys0.H_ss @ Ad))
-        bm = bm.at[:6].add(w0 * (Ad.T @ sys0.b_s))
+    # --- 5b. freeze the newest matching linearization at the final pose ---
+    T_wl_fin = T_c[W - 1] @ T_imu_lidar
+    Hn = jnp.zeros((6, 6))
+    gn = jnp.zeros(6)
+    en = jnp.zeros(())
+    hit0 = None
+    for mu, Ct, hit in lookup_all(T_wl_fin, sub_pts, sub_mask):
+        sysn = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl_fin, sub_pts,
+                                           sub_covs, mu, Ct, hit)
+        Hn = Hn + sysn.H_ss
+        gn = gn + sysn.b_s
+        en = en + sysn.error
+        hit0 = hit if hit0 is None else hit0
+    w_n = OLD_SUBSAMPLE * matching_weight
+    mH_r = mH_r.at[W - 1].set(w_n * (Ad.T @ Hn @ Ad))
+    mg_r = mg_r.at[W - 1].set(w_n * (Ad.T @ gn))
+    me_r = me_r.at[W - 1].set(w_n * en)
+    mT_r = mT_r.at[W - 1].set(T_c[W - 1])
+    mv_r = mv_r.at[W - 1].set(True)
+
+    # --- 5c. marginalization system for the NEXT eviction: factors incident
+    # to the (post-roll) oldest state, linearized at the final estimate ---
+    Hm, bm = _build_pair_system(T_c, v_c, b_c, valid_r, pre_r, prior_idx,
+                                T_anchor_n, v_anchor_n, b_anchor_n,
+                                H_prior_n, b_prior_n,
+                                mH_r, mg_r, me_r, mT_r, mv_r,
+                                bias_rw_info, gravity)
     Hm = jnp.where(finite, Hm, jnp.eye(2 * STATE_DIM))
     bm = jnp.where(finite, bm, jnp.zeros(2 * STATE_DIM))
 
-    # --- 6. keyframe-gated model update ---
-    T_wl_new = T_c[W - 1] @ T_imu_lidar
-    ov = vmx.voxelmap_overlap(vms[0], sub_pts, sub_mask, T_wl_new)
-    do_insert = bootstrap | (ov < keyframe_max_overlap)
-    w_pts = deskewed @ T_wl_new[:3, :3].T + T_wl_new[:3, 3]
-    covs_w = jnp.einsum("ij,cjk,lk->cil", T_wl_new[:3, :3], covs_new, T_wl_new[:3, :3])
-    step_id = win.step + 1
-
-    def ins(vm):
-        return vmx.voxelmap_insert(vm, w_pts, scan_mask & do_insert, covs_w,
-                                   step_id)
-
-    vms_new = tuple(jax.lax.cond(do_insert, ins, lambda v: v, vm) for vm in vms)
+    # --- 6. keyframe-strategy inputs (decision happens on host, lagged).
+    # Overlap = fraction of (subsampled) scan points with a level-0
+    # correspondence at the final pose — reused from the freeze lookup, so
+    # no extra map pass (gtsam_points::overlap role). ---
+    T_wl_new = T_wl_fin
+    ov = jnp.sum(hit0) / jnp.maximum(jnp.sum(sub_mask), 1)
+    sign, logdet = jnp.linalg.slogdet(H_live_fin + jnp.eye(6) * 1e-6)
+    d_kf = lie.se3_log(lie.se3_inv(T_last_keyframe) @ T_c[W - 1])
+    d_rot = jnp.linalg.norm(d_kf[:3])
+    d_trans = jnp.linalg.norm(d_kf[3:])
 
     win_new = WindowState(
         T=T_c, v=v_c, b=b_c, stamp=stamp_r, valid=valid_r,
         pts=pts_r, covs=covs_r, mask=mask_r, preints=pre_r,
+        m_H=mH_r, m_g=mg_r, m_e=me_r, m_Tlin=mT_r, m_valid=mv_r,
         H_prior=H_prior_n, b_prior=b_prior_n, T_anchor=T_anchor_n,
         v_anchor=v_anchor_n, b_anchor=b_anchor_n, H_marg=Hm, b_marg=bm,
         step=win.step + 1)
 
-    # Packed status (fetched lazily, one scan late): [finite, err, overlap,
-    # marginalized?, pred/opt poses + velocities for IMU validation].
+    # Packed status (fetched lazily, one scan late): see STATUS_* layout.
     status = jnp.concatenate([
         jnp.stack([finite.astype(jnp.float32), err_fin, ov,
-                   was_full.astype(jnp.float32)]),
+                   evict.astype(jnp.float32), sign * logdet,
+                   d_trans, d_rot]),
         T_pred.ravel(), v_pred,
         T_c[W - 1].ravel(), v_c[W - 1],
     ])
 
     outputs = dict(
-        T_wl=T_c[W - 1] @ T_imu_lidar,
+        T_wl=T_wl_new,
         T_wi=T_c[W - 1], v=v_c[W - 1], b=b_c[W - 1],
         deskewed=deskewed, covs=covs_new, normals=normals_new,
         marg=dict(T_wl=marg_T_wl, T_wi=marg_T_wi, v=marg_v, b=marg_b,
-                  stamp=marg_stamp, was_full=was_full),
+                  stamp=marg_stamp, was_full=evict),
         pose_table=(stamps_t, quats_t, trans_t),
         status=status,
     )
-    return win_new, vms_new, outputs
+    if compute_covs:
+        # Marginal covariances of every in-window state from the final
+        # window Hessian (reference computes these from iSAM2 on request,
+        # odometry_estimation_imu.cpp:399-428). Nearly free at this size.
+        damp = 1e-4 * jnp.diag(H_gn) + 1e-6
+        Sigma = jnp.linalg.inv(H_gn + jnp.diag(damp))
+        blocks = Sigma.reshape(W, STATE_DIM, W, STATE_DIM)
+        outputs["state_covs"] = jax.vmap(lambda k: blocks[k, :, k, :])(
+            jnp.arange(W))
+    return win_new, outputs

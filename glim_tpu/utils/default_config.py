@@ -63,6 +63,9 @@ DEFAULT_CONFIGS = {
     "config_odometry_cpu.json": {
         "odometry_estimation": {
             "so_name": "libodometry_estimation_cpu.so",
+            # enable_imu=false (extra over the reference) selects a
+            # LiDAR-only fallback for IMU-less datasets.
+            "enable_imu": True,
             "initialization_mode": "LOOSE",
             "initialization_window_size": 3.0,
             "init_pose_damping_scale": 1e10,

@@ -59,6 +59,7 @@ def _ensure_builtins_imported(kind: str) -> None:
     # without the caller importing every pipeline module.
     mods = {
         "odometry": ["glim_tpu.odometry.odometry_estimation_cpu",
+                     "glim_tpu.odometry.odometry_estimation_cpu_imu",
                      "glim_tpu.odometry.odometry_estimation_imu",
                      "glim_tpu.odometry.odometry_estimation_ct"],
         "sub_mapping": ["glim_tpu.mapping.sub_mapping",
