@@ -2,17 +2,28 @@
 
 Equivalent capability to the reference's ``SubMapping``
 (reference: src/glim/mapping/sub_mapping.cpp:104-500, params from
-config/config_sub_mapping_{cpu,gpu}.json): keyframe selection by OVERLAP /
-DISPLACEMENT over the marginalized-frame stream, optional batch refinement of
-keyframe poses with a fully-connected VGICP factor graph, then a merged and
-downsampled submap with origin at the central keyframe and endpoint offsets
-for the IMU factor chain of global mapping.
+config/config_sub_mapping_{cpu,gpu}.json):
 
-TPU design: keyframe clouds stay on device; the merge (transform K clouds
-into the origin frame + voxel-grid downsample) is one jitted program padded to
-``max_num_keyframes``; the optional refinement is a dense batch LM over
-K x 6 dof with VGICP factors between all keyframe pairs — on-device
-linearization, host LM loop (K <= 15 keeps the system tiny).
+  * 1-frame delayed input queue with IMU-rate trajectory smoothing between
+    consecutive frame poses (:108-162 — here the chain mini-LM is solved in
+    closed form, ops/imu.py::smooth_pose_chain);
+  * per-frame factor bookkeeping — odometry Between factors with
+    GICP-Hessian information (:193-210), the IMU factor chain with
+    velocity/bias priors and insufficient-IMU fallbacks (:219-243);
+  * keyframe selection by OVERLAP (vs the LAST keyframe's coarsest
+    voxelmap, :245-267) / DISPLACEMENT, with keyframe re-deskewing using
+    the smoothed IMU-rate poses + covariance re-estimation + random
+    sampling + per-keyframe multi-level voxelmaps (:339-419);
+  * submap creation at ``max_num_keyframes``: one fused batch LM over ALL
+    frame states with the full factor graph (mapping/submap_refine.py —
+    the :421-452 optimization), then merge + downsample at the refined
+    poses with origin at the central FRAME and endpoint offsets for global
+    mapping's IMU chain (:454-500).
+
+TPU design: heavy ops (GICP Hessians, preintegration, deskewing, the batch
+refinement, the merge) are jitted device programs padded to static
+capacities; the host side runs in the sub-mapping worker thread where pose
+fetches are off the odometry hot path.
 """
 
 from __future__ import annotations
@@ -27,13 +38,20 @@ import numpy as np
 
 from glim_tpu.mapping.callbacks import SubMappingCallbacks as CB
 from glim_tpu.mapping.sub_mapping_base import SubMappingBase
-from glim_tpu.ops import gicp, lie, lie_np, pointops, solver
+from glim_tpu.mapping.submap_refine import submap_refine
+from glim_tpu.ops import deskew as deskew_ops
+from glim_tpu.ops import gicp, lie_np, pointops
+from glim_tpu.ops import imu as imu_ops
 from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.types import EstimationFrame, PointBatch, SubMap
 from glim_tpu.utils.logging import create_module_logger
 from glim_tpu.utils.registry import register_module
 
 logger = create_module_logger("sub")
+
+GRAVITY = np.array([0.0, 0.0, -9.80665])
+IMU_CHAIN_CAP = 64          # padded IMU samples per inter-frame interval
+FRAME_BUCKETS = (32, 64, 128, 256)
 
 
 @dataclass
@@ -46,6 +64,8 @@ class SubMappingParams:
     keyframe_update_interval_rot: float = 3.14
     keyframe_update_interval_trans: float = 1.0
     max_keyframe_overlap: float = 0.6
+    create_between_factors: bool = False
+    between_registration_type: str = "GICP"       # GICP | NONE
     keyframe_randomsampling_rate: float = 1.0
     keyframe_voxel_resolution: float = 0.25
     keyframe_voxelmap_levels: int = 2
@@ -54,8 +74,10 @@ class SubMappingParams:
     submap_voxel_resolution: float = 0.5
     submap_target_num_points: int = 50000
     submap_point_capacity: int = 65536
-    keyframe_voxel_capacity: int = 65536
-    optimization_iterations: int = 5
+    keyframe_voxel_capacity: int = 16384
+    refine_subsample: int = 4          # refinement-cloud stride (Cs = C/this)
+    optimization_outer: int = 3
+    optimization_inner: int = 3
 
     @staticmethod
     def from_config(config) -> "SubMappingParams":
@@ -69,6 +91,8 @@ class SubMappingParams:
         p.keyframe_update_interval_rot = g("keyframe_update_interval_rot", 3.14)
         p.keyframe_update_interval_trans = g("keyframe_update_interval_trans", 1.0)
         p.max_keyframe_overlap = g("max_keyframe_overlap", 0.6)
+        p.create_between_factors = g("create_between_factors", False)
+        p.between_registration_type = g("between_registration_type", "GICP")
         p.keyframe_randomsampling_rate = g("keyframe_randomsampling_rate", 1.0)
         p.keyframe_voxel_resolution = g("keyframe_voxel_resolution", 0.25)
         p.keyframe_voxelmap_levels = int(g("keyframe_voxelmap_levels", 2))
@@ -84,7 +108,6 @@ def _merge_keyframes(kf_points, kf_masks, kf_T_origin_kf, kf_valid, resolution,
                      *, k_max: int, out_cap: int):
     """Transform up to k_max keyframe clouds into the origin frame and
     voxel-grid downsample into one padded submap cloud."""
-    # (K, C, 3) batched transform.
     R = kf_T_origin_kf[:, :3, :3]
     t = kf_T_origin_kf[:, :3, 3]
     pts = jnp.einsum("kij,kcj->kci", R, kf_points) + t[:, None, :]
@@ -95,32 +118,148 @@ def _merge_keyframes(kf_points, kf_masks, kf_T_origin_kf, kf_valid, resolution,
                                        out_capacity=out_cap)
 
 
+@jax.jit
+def _between_info_gicp(T_last, T_cur, last_pts, last_covs, last_mask,
+                       cur_pts, cur_covs, cur_mask, max_dist):
+    """6x6 information of the odometry delta from a GICP linearization of
+    the current frame against the last frame's points (reference
+    sub_mapping.cpp:193-210: hessianBlockDiagonal at the current pose)."""
+    s = gicp.gicp_linearize(T_last, T_cur, cur_pts, cur_covs, cur_mask,
+                            last_pts, last_covs, last_mask, max_dist)
+    return s.H_ss, s.num_inliers
+
+
+@jax.jit
+def _smooth_chain(T_start, v_start, bias, acc, gyro, dts, mask, stamps_rel,
+                  span, T_end, T_lidar_imu):
+    """Integrate IMU poses across one inter-frame interval and anchor both
+    ends (sub_mapping.cpp:117-162). Poses in/out are LIDAR-frame world
+    poses; the chain itself runs in the IMU frame."""
+    T_wi0 = T_start @ T_lidar_imu
+    T_wi1 = T_end @ T_lidar_imu
+    Rs, ps, _ = imu_ops.integrate_poses(T_wi0[:3, :3], T_wi0[:3, 3], v_start,
+                                        bias, jnp.asarray(GRAVITY, jnp.float32),
+                                        acc, gyro, dts, mask)
+    sigmas = dts / jnp.maximum(span, 1e-3) + 1e-2
+    Rs2, ps2 = imu_ops.smooth_pose_chain(Rs, ps, mask, sigmas, T_wi1)
+    quats = jax.vmap(lambda R: _rot_to_quat_dev(R))(Rs2)
+    return stamps_rel, quats, ps2
+
+
+def _rot_to_quat_dev(R):
+    from glim_tpu.ops import lie
+    return lie.rot_to_quat(R)
+
+
 class SubMapping(SubMappingBase):
     def __init__(self, params: Optional[SubMappingParams] = None):
         self.params = params or SubMappingParams()
         self.submap_count = 0
+        self._delayed: List[EstimationFrame] = []
         self.odom_frames: List[EstimationFrame] = []
         self.frames: List[EstimationFrame] = []     # every frame in the submap
-        self.keyframes: List[EstimationFrame] = []
+        self.keyframes: List[dict] = []             # device keyframe records
         self.submap_queue: List[SubMap] = []
-        self._kf_voxelmap = None
-        self._rng = jax.random.PRNGKey(7)
+        self.imu_buffer: List[np.ndarray] = []
+        # Per-edge factor data, entry i connects frames (i-1, i).
+        self._bt_delta: List[np.ndarray] = []
+        self._bt_info: List = []
+        self._bt_valid: List[bool] = []
+        self._preints: List = []
+        self._pre_valid: List[bool] = []
+        self._last_frame_full = dict(T=np.eye(4), pts=None, covs=None, mask=None)
+        self._rng = np.random.default_rng(7)
 
     def insert_imu(self, stamp, linear_acc, angular_vel) -> None:
         CB.on_insert_imu(stamp, linear_acc, angular_vel)
+        if self.params.enable_imu:
+            self.imu_buffer.append(
+                np.concatenate([[stamp], linear_acc, angular_vel]))
 
     def insert_frame(self, frame: EstimationFrame) -> None:
         CB.on_insert_frame(frame)
+        # 1-frame delayed queue: frame k is processed when k+1 arrives so
+        # the IMU-rate trajectory between them can be smoothed
+        # (reference sub_mapping.cpp:108-115).
+        self._delayed.append(frame)
+        if len(self._delayed) < 2:
+            return
+        cur = self._delayed.pop(0)
+        nxt = self._delayed[0]
+        self._process_frame(cur, nxt)
+
+    def _process_frame(self, frame: EstimationFrame,
+                       next_frame: Optional[EstimationFrame]) -> None:
         p = self.params
+
+        if p.enable_imu and next_frame is not None:
+            self._smooth_imu_rate(frame, next_frame)
+
+        current = len(self.frames)
         self.odom_frames.append(frame.clone_wo_points())
         # Reference semantics: submap.frames holds EVERY scan of the submap
-        # (the optimized per-scan trajectory feeding traj_lidar.txt), not
-        # just the keyframes (reference: sub_mapping.cpp:183-243).
+        # (the optimized per-scan trajectory feeding traj_lidar.txt).
         self.frames.append(frame.clone_wo_points())
+        self.frames[-1].frame = None
+
+        # -- factor bookkeeping for the batch refinement --
+        if current == 0:
+            self._bt_delta.append(np.eye(4))
+            self._bt_info.append(np.eye(6))
+            self._bt_valid.append(False)
+        else:
+            last = self._last_frame_full
+            delta = np.linalg.inv(last["T"]) @ frame.T_world_sensor()
+            info = None
+            if (p.create_between_factors
+                    and p.between_registration_type.upper() == "GICP"
+                    and last["pts"] is not None and frame.frame is not None):
+                last_covs = last["covs"]
+                if last_covs is None:
+                    last_covs = jnp.zeros(last["pts"].shape[:1] + (3, 3),
+                                          jnp.float32)
+                H, n_in = _between_info_gicp(
+                    jnp.asarray(last["T"], jnp.float32),
+                    jnp.asarray(frame.T_world_sensor(), jnp.float32),
+                    last["pts"], last_covs, last["mask"],
+                    frame.frame.points, frame.frame.covs, frame.frame.mask,
+                    jnp.float32(1.0))
+                info = (H, n_in)
+            self._bt_delta.append(delta)
+            self._bt_info.append(info)       # resolved (fetched) at create
+            self._bt_valid.append(p.create_between_factors)
+        if p.enable_imu and current > 0:
+            acc, gyro, dts, mask, _ = self._imu_between(
+                self.frames[-2].stamp, frame.stamp)
+            n_integrated = int(mask.sum())
+            if n_integrated >= 2:
+                bias = self.frames[-2].imu_bias
+                bias = np.zeros(6) if bias is None else bias
+                pre = imu_ops.preintegrate(
+                    jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts),
+                    jnp.asarray(mask), jnp.asarray(bias, jnp.float32),
+                    jnp.float32(0.05), jnp.float32(0.02), jnp.float32(0.001))
+                self._preints.append(pre)
+                self._pre_valid.append(True)
+            else:
+                logger.warning("insufficient IMU data between LiDAR frames!! "
+                               "(sub_mapping)")
+                self._preints.append(None)
+                self._pre_valid.append(False)
+        else:
+            self._preints.append(None)
+            self._pre_valid.append(False)
+
+        # Keep the full cloud of the last frame only (between factors).
+        self._last_frame_full = dict(
+            T=frame.T_world_sensor(),
+            pts=frame.frame.points if frame.frame is not None else None,
+            covs=frame.frame.covs if frame.frame is not None else None,
+            mask=frame.frame.mask if frame.frame is not None else None)
 
         if self._should_insert_keyframe(frame):
-            self._insert_keyframe(frame)
-            CB.on_new_keyframe(len(self.keyframes) - 1, frame)
+            self._insert_keyframe(current, frame)
+            CB.on_new_keyframe(current, frame)
             if len(self.keyframes) >= p.max_num_keyframes:
                 self._create_submap()
 
@@ -130,6 +269,8 @@ class SubMapping(SubMappingBase):
         return out
 
     def submit_end_of_sequence(self) -> List[SubMap]:
+        if self._delayed:
+            self._process_frame(self._delayed.pop(0), None)
         if self.keyframes:
             self._create_submap()
         out = self.submap_queue
@@ -138,113 +279,252 @@ class SubMapping(SubMappingBase):
 
     # -- internals --
 
+    def _imu_between(self, t0: float, t1: float):
+        """Padded IMU arrays covering (t0, t1]."""
+        rows = [r for r in self.imu_buffer if t0 < r[0] <= t1 + 1e-6]
+        self.imu_buffer = [r for r in self.imu_buffer if r[0] > t0 - 0.5]
+        n = min(len(rows), IMU_CHAIN_CAP)
+        acc = np.zeros((IMU_CHAIN_CAP, 3), np.float32)
+        gyro = np.zeros((IMU_CHAIN_CAP, 3), np.float32)
+        dts = np.zeros(IMU_CHAIN_CAP, np.float32)
+        rel = np.zeros(IMU_CHAIN_CAP, np.float32)
+        mask = np.zeros(IMU_CHAIN_CAP, bool)
+        prev = t0
+        for i in range(n):
+            acc[i] = rows[i][1:4]
+            gyro[i] = rows[i][4:7]
+            dts[i] = max(rows[i][0] - prev, 0.0)
+            rel[i] = rows[i][0] - t0
+            prev = rows[i][0]
+            mask[i] = True
+        return acc, gyro, dts, mask, rel
+
+    def _smooth_imu_rate(self, frame: EstimationFrame,
+                         next_frame: EstimationFrame) -> None:
+        """Write the doubly-anchored IMU-rate trajectory onto the frame
+        (reference sub_mapping.cpp:117-162)."""
+        acc, gyro, dts, mask, rel = self._imu_between(frame.stamp,
+                                                      next_frame.stamp)
+        if mask.sum() < 2:
+            return
+        v = frame.v_world_imu
+        b = frame.imu_bias
+        stamps_rel, quats, trans = _smooth_chain(
+            jnp.asarray(frame.T_world_sensor(), jnp.float32),
+            jnp.asarray(np.zeros(3) if v is None else v, jnp.float32),
+            jnp.asarray(np.zeros(6) if b is None else b, jnp.float32),
+            jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts),
+            jnp.asarray(mask), jnp.asarray(rel),
+            jnp.float32(next_frame.stamp - frame.stamp),
+            jnp.asarray(next_frame.T_world_sensor(), jnp.float32),
+            jnp.asarray(np.linalg.inv(frame.T_lidar_imu), jnp.float32))
+        n = int(mask.sum())
+        traj = np.zeros((8, n))
+        traj[0] = np.asarray(stamps_rel)[:n] + frame.stamp
+        traj[1:4] = np.asarray(trans)[:n].T
+        traj[4:8] = np.asarray(quats)[:n].T
+        frame.imu_rate_trajectory = traj
+
     def _should_insert_keyframe(self, frame: EstimationFrame) -> bool:
         p = self.params
         if not self.keyframes:
             return True
         if frame.frame is None or frame.frame.points is None:
             return False
+        n_pts = int(np.asarray(jnp.sum(frame.frame.mask)))
+        if n_pts <= p.keyframe_update_min_points:
+            return False
+        last = self.keyframes[-1]
         if p.keyframe_update_strategy.upper() == "DISPLACEMENT":
-            T_last = self.keyframes[-1].T_world_sensor()
-            delta = lie_np.se3_log(np.linalg.inv(T_last) @ frame.T_world_sensor())
+            delta = lie_np.se3_log(np.linalg.inv(last["T"]) @ frame.T_world_sensor())
             return (np.linalg.norm(delta[3:]) > p.keyframe_update_interval_trans
                     or np.linalg.norm(delta[:3]) > p.keyframe_update_interval_rot)
-        # OVERLAP: insert when the new frame's overlap with the accumulated
-        # keyframe map drops below max_keyframe_overlap.
-        ov = float(vmx.voxelmap_overlap(
-            self._kf_voxelmap, frame.frame.points, frame.frame.mask,
-            jnp.asarray(frame.T_world_sensor(), jnp.float32)))
+        # OVERLAP vs the LAST keyframe's coarsest voxelmap (reference
+        # sub_mapping.cpp:249-255 uses keyframes.back()->voxelmaps.back()).
+        T = jnp.asarray(frame.T_world_sensor(), jnp.float32)
+        T_rel = jnp.asarray(np.linalg.inv(last["T"]), jnp.float32) @ T
+        ov = float(vmx.voxelmap_overlap(last["vms"][-1], frame.frame.points,
+                                        frame.frame.mask, T_rel))
         return ov < p.max_keyframe_overlap
 
-    def _insert_keyframe(self, frame: EstimationFrame) -> None:
+    def _insert_keyframe(self, current: int, frame: EstimationFrame) -> None:
+        """Re-deskew with the smoothed IMU-rate poses, re-estimate
+        covariances, random-sample, and build per-keyframe voxelmaps
+        (reference sub_mapping.cpp:339-419)."""
         p = self.params
-        if self._kf_voxelmap is None:
-            self._kf_voxelmap = vmx.empty_gaussian_voxelmap(
-                p.keyframe_voxel_capacity, p.submap_voxel_resolution)
-        if frame.frame is not None and frame.frame.points is not None:
-            covs = frame.frame.covs
-            if covs is None:
-                covs = jnp.zeros(frame.frame.points.shape[:1] + (3, 3), jnp.float32)
-            T = jnp.asarray(frame.T_world_sensor(), jnp.float32)
-            w_pts = frame.frame.points @ T[:3, :3].T + T[:3, 3]
-            self._kf_voxelmap = vmx.voxelmap_insert(
-                self._kf_voxelmap, w_pts, frame.frame.mask, covs,
-                jnp.int32(len(self.keyframes)))
-        self.keyframes.append(frame)
+        pts = frame.frame.points
+        covs = frame.frame.covs
+        mask = frame.frame.mask
+        raw = frame.raw_frame
 
-    def _optimize_keyframes(self) -> List[np.ndarray]:
-        """Optional batch refinement: fully-connected VGICP between keyframes
-        (reference: sub_mapping.cpp:421-452). Returns refined world poses."""
-        p = self.params
-        K = len(self.keyframes)
-        poses0 = [kf.T_world_sensor() for kf in self.keyframes]
-        if not p.enable_optimization or K < 2:
-            return poses0
+        if (p.enable_imu and raw is not None
+                and frame.imu_rate_trajectory is not None
+                and frame.imu_rate_trajectory.shape[1] >= 2
+                and getattr(raw, "device_points", None) is not None):
+            traj = frame.imu_rate_trajectory
+            stamps_rel = jnp.asarray(traj[0] - frame.stamp, jnp.float32)
+            quats = jnp.asarray(traj[4:8].T, jnp.float32)
+            trans = jnp.asarray(traj[1:4].T, jnp.float32)
+            # deskew_imu returns scan-start LiDAR-frame points — the frame
+            # the submap's keyframe clouds live in.
+            pts = deskew_ops.deskew_imu(
+                raw.device_points, raw.device_times, raw.device_mask,
+                stamps_rel, quats, trans,
+                jnp.asarray(frame.T_lidar_imu, jnp.float32))
+            mask = raw.device_mask
+            from glim_tpu.ops import covariance as cov_ops
+            covs, _ = cov_ops.estimate_covariances(pts, mask,
+                                                   raw.device_neighbors, "plane")
 
+        if covs is None:
+            covs = jnp.zeros(pts.shape[:1] + (3, 3), jnp.float32)
+
+        # Random sampling (reference keyframe_randomsampling_rate) as a
+        # static-shape stride; the keyframe voxelmaps are built from this
+        # sampled cloud, exactly as the reference (sub_mapping.cpp:390-417).
+        stride = max(1, int(round(1.0 / max(p.keyframe_randomsampling_rate, 1e-3))))
+        s_pts = pts[::stride]
+        s_covs = covs[::stride]
+        s_mask = mask[::stride]
+
+        # Per-keyframe multi-level voxelmaps from the subsampled cloud.
         vms = []
-        for kf in self.keyframes:
-            vm = vmx.empty_gaussian_voxelmap(16384, p.keyframe_voxel_resolution * 2)
-            covs = kf.frame.covs if kf.frame.covs is not None else \
-                jnp.zeros(kf.frame.points.shape[:1] + (3, 3), jnp.float32)
-            vms.append(vmx.voxelmap_insert(vm, kf.frame.points, kf.frame.mask,
-                                           covs, jnp.int32(0)))
+        for lvl in range(max(p.keyframe_voxelmap_levels, 1)):
+            res = p.keyframe_voxel_resolution * (p.keyframe_voxelmap_scaling_factor ** lvl)
+            vm = vmx.empty_gaussian_voxelmap(p.keyframe_voxel_capacity, res)
+            vms.append(vmx.voxelmap_insert(vm, s_pts, s_mask, s_covs, jnp.int32(0)))
 
-        def linearize(x):
-            # x: (K, 4, 4) world poses.
-            H = jnp.zeros((K * 6, K * 6))
-            b = jnp.zeros(K * 6)
-            err = 0.0
-            for i in range(K):
-                for j in range(K):
-                    if i == j:
-                        continue
-                    kf_j = self.keyframes[j]
-                    covs_j = kf_j.frame.covs if kf_j.frame.covs is not None else \
-                        jnp.zeros(kf_j.frame.points.shape[:1] + (3, 3), jnp.float32)
-                    s = gicp.vgicp_linearize(x[i], x[j], kf_j.frame.points,
-                                             covs_j, kf_j.frame.mask, vms[i])
-                    H = H.at[i * 6:(i + 1) * 6, i * 6:(i + 1) * 6].add(s.H_tt)
-                    H = H.at[i * 6:(i + 1) * 6, j * 6:(j + 1) * 6].add(s.H_ts)
-                    H = H.at[j * 6:(j + 1) * 6, i * 6:(i + 1) * 6].add(s.H_ts.T)
-                    H = H.at[j * 6:(j + 1) * 6, j * 6:(j + 1) * 6].add(s.H_ss)
-                    b = b.at[i * 6:(i + 1) * 6].add(s.b_t)
-                    b = b.at[j * 6:(j + 1) * 6].add(s.b_s)
-                    err = err + s.error
-            # Gauge fixing: damp the first pose.
-            H = H.at[:6, :6].add(jnp.eye(6) * 1e6)
-            return H, b, err
+        self.keyframes.append(dict(
+            fidx=current, T=frame.T_world_sensor(), id=frame.id,
+            pts=s_pts, covs=s_covs, mask=s_mask,
+            full_pts=pts, full_mask=mask, vms=vms))
 
-        def retract(x, delta):
-            return x @ lie.se3_exp(delta.reshape(K, 6))
+    def _refine(self) -> Optional[tuple]:
+        """Batch LM over all frame states (submap_refine). Returns
+        (T (N,4,4), v, b) numpy or None when disabled/degenerate."""
+        p = self.params
+        N = len(self.frames)
+        if not p.enable_optimization or N < 2 or len(self.keyframes) < 2:
+            return None
+        Np = next((b for b in FRAME_BUCKETS if b >= N), None)
+        if Np is None:
+            logger.warning("submap has %d frames > %d; skipping batch "
+                           "refinement", N, FRAME_BUCKETS[-1])
+            return None
 
-        x0 = jnp.asarray(np.stack(poses0), jnp.float32)
-        res = solver.lm_optimize(
-            jax.jit(linearize), retract, x0,
-            solver.TerminationCriteria(max_iterations=p.optimization_iterations),
-            callback=lambda st: CB.on_optimization_status(st, None))
-        return [np.asarray(T, np.float64) for T in res.x]
+        T0 = np.tile(np.eye(4, dtype=np.float32), (Np, 1, 1))
+        v0 = np.zeros((Np, 3), np.float32)
+        b0 = np.zeros((Np, 6), np.float32)
+        valid = np.zeros(Np, bool)
+        btd = np.tile(np.eye(4, dtype=np.float32), (Np, 1, 1))
+        bti = np.tile(np.eye(6, dtype=np.float32), (Np, 1, 1))
+        btv = np.zeros(Np, bool)
+        for i, fr in enumerate(self.frames):
+            T0[i] = fr.T_world_sensor()
+            if fr.v_world_imu is not None:
+                v0[i] = fr.v_world_imu
+            if fr.imu_bias is not None:
+                b0[i] = fr.imu_bias
+            valid[i] = True
+            btd[i] = self._bt_delta[i]
+            if self._bt_valid[i]:
+                info = self._bt_info[i]
+                if isinstance(info, tuple):
+                    H, n_in = info
+                    if int(n_in) >= 500:
+                        bti[i] = np.asarray(H)
+                    else:
+                        bti[i] = np.eye(6) * 1e3
+                else:
+                    bti[i] = np.eye(6) * 1e3
+                btv[i] = True
+
+        # Stack preintegrations (identity-padded where invalid).
+        from glim_tpu.odometry.window_estimator import _zero_preints
+        pre0 = _zero_preints(Np)
+        pre_np = jax.tree_util.tree_map(lambda x: np.asarray(x), pre0)
+        pre_valid = np.zeros(Np - 1, bool)
+        for i in range(1, min(N, Np)):
+            if self._pre_valid[i] and self._preints[i] is not None:
+                src = self._preints[i]
+                pre_np = jax.tree_util.tree_map(
+                    lambda buf, val: _set_row(buf, i - 1, np.asarray(val)),
+                    pre_np, src)
+                pre_valid[i - 1] = True
+
+        Kp = p.max_num_keyframes
+        kfs = self.keyframes[:Kp]
+        # Extra stride for the pairwise factor clouds only (the Kp^2 lookup
+        # fan-out is the expensive part; the voxelmap targets stay dense).
+        rs = max(1, p.refine_subsample)
+        Cs = int(kfs[0]["pts"][::rs].shape[0])
+        kf_pts = jnp.zeros((Kp, Cs, 3), jnp.float32)
+        kf_covs = jnp.zeros((Kp, Cs, 3, 3), jnp.float32)
+        kf_mask = jnp.zeros((Kp, Cs), bool)
+        kf_fidx = np.zeros(Kp, np.int32)
+        kf_valid = np.zeros(Kp, bool)
+        L = max(p.keyframe_voxelmap_levels, 1)
+        vms_stacked = []
+        for lvl in range(L):
+            vms_stacked.append(jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[kf["vms"][lvl] for kf in kfs],
+                *([kfs[0]["vms"][lvl]] * (Kp - len(kfs)))))
+        for i, kf in enumerate(kfs):
+            kf_pts = kf_pts.at[i].set(kf["pts"][::rs])
+            kf_covs = kf_covs.at[i].set(kf["covs"][::rs])
+            kf_mask = kf_mask.at[i].set(kf["mask"][::rs])
+            kf_fidx[i] = kf["fidx"]
+            kf_valid[i] = True
+
+        T, v, b, err = submap_refine(
+            jnp.asarray(T0), jnp.asarray(v0), jnp.asarray(b0),
+            jnp.asarray(valid),
+            jnp.asarray(btd), jnp.asarray(bti), jnp.asarray(btv),
+            jax.tree_util.tree_map(jnp.asarray, pre_np),
+            jnp.asarray(pre_valid),
+            kf_pts, kf_covs, kf_mask, jnp.asarray(kf_fidx),
+            jnp.asarray(kf_valid), tuple(vms_stacked),
+            jnp.asarray(GRAVITY, jnp.float32),
+            Np=Np, Kp=Kp, outer=p.optimization_outer,
+            inner=p.optimization_inner)
+        CB.on_optimization_status(dict(error=float(err)), None)
+        return (np.asarray(T, np.float64)[:N], np.asarray(v, np.float64)[:N],
+                np.asarray(b, np.float64)[:N])
 
     def _create_submap(self) -> None:
         p = self.params
         K = len(self.keyframes)
-        if K == 0:
+        N = len(self.frames)
+        if K == 0 or N == 0:
             return
-        poses = self._optimize_keyframes()
 
-        center = K // 2
-        T_world_origin = poses[center]
+        refined = self._refine()
+        if refined is not None:
+            T_all, v_all, b_all = refined
+            for i, fr in enumerate(self.frames):
+                fr.set_T_world_sensor(T_all[i])
+                fr.v_world_imu = v_all[i]
+                fr.imu_bias = b_all[i]
+        poses = {kf["fidx"]: self.frames[kf["fidx"]].T_world_sensor()
+                 for kf in self.keyframes}
+
+        # Origin at the central FRAME (reference: odom_frames.size()/2).
+        center = N // 2
+        T_world_origin = self.frames[center].T_world_sensor()
         T_origin_world = np.linalg.inv(T_world_origin)
 
         k_max = p.max_num_keyframes
-        C = self.keyframes[0].frame.points.shape[0]
+        C = int(self.keyframes[0]["full_pts"].shape[0])
         kf_pts = jnp.zeros((k_max, C, 3), jnp.float32)
         kf_msk = jnp.zeros((k_max, C), bool)
         kf_T = jnp.tile(jnp.eye(4), (k_max, 1, 1))
         kf_valid = np.zeros(k_max, bool)
         for i, kf in enumerate(self.keyframes[:k_max]):
-            kf_pts = kf_pts.at[i].set(kf.frame.points)
-            kf_msk = kf_msk.at[i].set(kf.frame.mask)
-            kf_T = kf_T.at[i].set(jnp.asarray(T_origin_world @ poses[i], jnp.float32))
+            kf_pts = kf_pts.at[i].set(kf["full_pts"])
+            kf_msk = kf_msk.at[i].set(kf["full_mask"])
+            kf_T = kf_T.at[i].set(jnp.asarray(
+                T_origin_world @ poses[kf["fidx"]], jnp.float32))
             kf_valid[i] = True
 
         out_cap = min(p.submap_point_capacity,
@@ -253,34 +533,42 @@ class SubMapping(SubMappingBase):
                                          jnp.float32(p.submap_downsample_resolution),
                                          k_max=k_max, out_cap=out_cap)
 
-        # Endpoints span the FULL frame set (reference: sub_map.hpp endpoint
-        # geometry over frames.front()/back()).
-        all_frames = self.frames if self.frames else self.keyframes
-        T_first = all_frames[0].T_world_sensor()
-        T_last = all_frames[-1].T_world_sensor()
+        T_first = self.frames[0].T_world_sensor()
+        T_last = self.frames[-1].T_world_sensor()
         submap = SubMap(
             id=self.submap_count,
             T_world_origin=T_world_origin,
             T_origin_endpoint_L=T_origin_world @ T_first,
             T_origin_endpoint_R=T_origin_world @ T_last,
             frame=PointBatch(points=m_pts, mask=m_mask),
-            frames=all_frames,
+            frames=self.frames,
             odom_frames=self.odom_frames,
         )
-        # Refined keyframe poses onto the corresponding stored frames.
-        kf_ids = {kf.id: T for kf, T in zip(self.keyframes, poses)}
-        for fr in submap.frames:
-            if fr.id in kf_ids:
-                fr.set_T_world_sensor(kf_ids[fr.id])
+        # Creation-time origin (global mapping overwrites T_world_origin in
+        # place; frame poses stay in the odometry frame and are re-anchored
+        # through this for globally-optimized trajectories).
+        submap.custom_data["T_world_origin_pre"] = T_world_origin.copy()
 
         self.submap_count += 1
         self.keyframes = []
         self.frames = []
         self.odom_frames = []
-        self._kf_voxelmap = None
+        self._bt_delta = []
+        self._bt_info = []
+        self._bt_valid = []
+        self._preints = []
+        self._pre_valid = []
         self.submap_queue.append(submap)
         CB.on_new_submap(submap)
-        logger.info("submap %d created (%d keyframes)", submap.id, K)
+        logger.info("submap %d created (%d keyframes, %d frames%s)",
+                    submap.id, K, N,
+                    ", refined" if refined is not None else "")
+
+
+def _set_row(buf: np.ndarray, i: int, val: np.ndarray) -> np.ndarray:
+    buf = buf.copy()
+    buf[i] = val
+    return buf
 
 
 @register_module("sub_mapping", "sub_mapping")

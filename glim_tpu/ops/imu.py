@@ -189,3 +189,47 @@ def integrate_poses(R0: jnp.ndarray, p0: jnp.ndarray, v0: jnp.ndarray,
 
     _, (Rs, ps, vs) = jax.lax.scan(step, (R0, p0, v0), (acc, gyro, dts, mask))
     return Rs, ps, vs
+
+
+@jax.jit
+def smooth_pose_chain(Rs, ps, mask, sigmas, T_end):
+    """Doubly-anchored IMU pose-chain smoothing (closed form).
+
+    TPU replacement for the reference's per-frame mini pose-graph LM
+    (reference: src/glim/mapping/sub_mapping.cpp:117-162): a chain of
+    IMU-integrated poses with near-hard priors at both scan poses (sigma
+    1e-5) and Between factors from the IMU deltas (sigma_i = dt_i + 1e-2).
+    Because the graph is a simple chain whose only external pulls are the
+    two endpoint anchors, its linearized MAP solution is available in
+    closed form: the start is pinned by construction (the chain integrates
+    from the first scan's state) and the end-pose mismatch
+    xi = log(P_N^-1 T_end) is distributed along the chain proportionally
+    to the accumulated Between variance:
+
+        S_i = P_i * exp(alpha_i * xi),   alpha_i = sum_{j<=i} sigma_j^2
+                                                   / sum_j sigma_j^2.
+
+    Args: Rs (N,3,3), ps (N,3) integrated poses; mask (N,) valid lanes;
+    sigmas (N,) per-step Between sigma (entry 0 ignored); T_end (4,4) the
+    next scan's pose anchoring the chain end. Returns (Rs', ps')."""
+    from glim_tpu.ops import lie
+
+    n = jnp.maximum(jnp.sum(mask), 1)
+    var = jnp.where(mask, sigmas * sigmas, 0.0)
+    var = var.at[0].set(0.0)
+    cum = jnp.cumsum(var)
+    total = jnp.maximum(cum[n - 1], 1e-12)
+    alpha = jnp.clip(cum / total, 0.0, 1.0)
+
+    idx_end = n - 1
+    P_end = jnp.eye(4).at[:3, :3].set(Rs[idx_end]).at[:3, 3].set(ps[idx_end])
+    xi = lie.se3_log(lie.se3_inv(P_end) @ T_end)
+
+    def fix(R, p, a):
+        T = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(p)
+        T2 = T @ lie.se3_exp(a * xi)
+        return T2[:3, :3], T2[:3, 3]
+
+    Rs2, ps2 = jax.vmap(fix)(Rs, ps, alpha)
+    return (jnp.where(mask[:, None, None], Rs2, Rs),
+            jnp.where(mask[:, None], ps2, ps))

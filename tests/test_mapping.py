@@ -42,6 +42,7 @@ class TestSubMapping:
         sm = SubMapping(SubMappingParams(max_num_keyframes=5,
                                          keyframe_update_strategy="DISPLACEMENT",
                                          keyframe_update_interval_trans=0.4,
+                                         keyframe_update_min_points=100,
                                          submap_downsample_resolution=0.2))
         for f in straight_frames(rng, 12):
             sm.insert_frame(f)
@@ -59,6 +60,7 @@ class TestSubMapping:
     def test_end_of_sequence_flush(self, rng):
         sm = SubMapping(SubMappingParams(max_num_keyframes=50,
                                          keyframe_update_strategy="DISPLACEMENT",
+                                         keyframe_update_min_points=100,
                                          keyframe_update_interval_trans=0.4))
         for f in straight_frames(rng, 6):
             sm.insert_frame(f)
@@ -69,6 +71,7 @@ class TestSubMapping:
     def test_overlap_strategy(self, rng):
         sm = SubMapping(SubMappingParams(max_num_keyframes=100,
                                          keyframe_update_strategy="OVERLAP",
+                                         keyframe_update_min_points=100,
                                          max_keyframe_overlap=0.8))
         # Identical poses AND identical clouds: overlap 1.0 -> only the first
         # frame becomes a keyframe.

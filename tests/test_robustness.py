@@ -82,7 +82,8 @@ class TestSubmapRefinement:
         sm = SubMapping(SubMappingParams(
             max_num_keyframes=4, keyframe_update_strategy="DISPLACEMENT",
             keyframe_update_interval_trans=0.3, enable_optimization=True,
-            optimization_iterations=8))
+            keyframe_update_min_points=100, refine_subsample=2,
+            optimization_outer=3, optimization_inner=3))
         errs_in = []
         for k in range(4):
             T_true = np.eye(4)
