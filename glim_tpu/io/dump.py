@@ -151,7 +151,48 @@ def load_submap(path: str) -> SubMap:
     if os.path.exists(pts_path):
         from glim_tpu.types import PointBatch as PB
         sm.frame = PB.from_numpy(np.load(pts_path))
+        repair_submap(sm, path)
     return sm
+
+
+def repair_submap(sm: SubMap, path: str = "?") -> None:
+    """Load-time corruption repair (reference mapping/sub_map.cpp:149-199):
+    drop non-finite points, validate stored covariances (finite, symmetric,
+    bounded), and re-estimate covariances when missing or broken so every
+    loaded submap is usable as a VGICP target."""
+    import jax.numpy as jnp
+
+    if sm.frame is None:
+        return
+    pts = np.asarray(sm.frame.points)
+    mask = np.asarray(sm.frame.mask).copy()
+    bad = ~np.isfinite(pts).all(axis=1) & mask
+    if bad.any():
+        logger.warning("submap %s: %d non-finite points dropped (%s)",
+                       sm.id, int(bad.sum()), path)
+        mask &= ~bad
+        pts = np.where(mask[:, None], pts, 0.0)
+        sm.frame.points = jnp.asarray(pts)
+        sm.frame.mask = jnp.asarray(mask)
+
+    covs_ok = False
+    if sm.frame.covs is not None:
+        c = np.asarray(sm.frame.covs)[mask]
+        covs_ok = bool(len(c) == 0 or (np.isfinite(c).all()
+                                       and np.abs(c).max() < 1e4))
+        if not covs_ok:
+            logger.warning("submap %s: stored covariances invalid; "
+                           "re-estimating (%s)", sm.id, path)
+    if not covs_ok and mask.sum() >= 16:
+        from glim_tpu.ops import covariance as cov_ops
+        from glim_tpu.ops.knn import knn_search
+        dev_pts = jnp.asarray(pts, jnp.float32)
+        dev_mask = jnp.asarray(mask)
+        idx, _ = knn_search(dev_pts, dev_mask, dev_pts, dev_mask, k=10)
+        covs, normals = cov_ops.estimate_covariances(dev_pts, dev_mask, idx,
+                                                     "plane")
+        sm.frame.covs = covs
+        sm.frame.normals = normals
 
 
 def save_dump(path: str, submaps: List[SubMap], poses: List[np.ndarray],
@@ -176,7 +217,7 @@ def save_dump(path: str, submaps: List[SubMap], poses: List[np.ndarray],
                  i=np.asarray(factors["i"], np.int32),
                  j=np.asarray(factors["j"], np.int32),
                  Z=np.stack(factors["Z"]) if factors["Z"] else np.zeros((0, 4, 4)),
-                 info=np.stack(factors["info"]) if factors["info"] else np.zeros((0, 6)),
+                 info=np.stack(factors["info"]) if factors["info"] else np.zeros((0, 6, 6)),
                  huber=np.asarray(factors["huber"]),
                  matching=matching,
                  poses=np.stack(poses) if poses else np.zeros((0, 4, 4)))

@@ -1,0 +1,254 @@
+"""Batched global-mapping optimization kernel.
+
+The round-1 backend linearized matching-cost factors one-by-one in a host
+loop; this module replaces that with the TPU-native design (SURVEY.md §7
+phase 6): all factors live in stacked padded arrays and ONE jitted program
+runs the whole damped-GN optimization —
+
+  * matching-cost factors: vmapped ``vgicp_linearize_cached`` over the
+    factor axis with CACHED correspondences (the voxel lookups — binary
+    search + gathers — are refreshed outside, only for factors whose
+    relative pose moved; the per-iteration relinearization is pure einsum
+    chains that XLA tiles onto the MXU). This is the iSAM2-style lazy
+    relinearization split, applied at the factor level.
+  * between factors / priors / gravity anchors: existing batched kernels.
+  * IMU endpoint-chain factors (junction velocity/bias states appended to
+    the state vector): vmapped jacfwd systems.
+  * selective recovery damping: per-pose LinearDampingFactor scales
+    (reference global_mapping.cpp:505-543) as a traced vector.
+
+The factor axis is also the multi-chip shard axis: `shard` > 1 runs the
+matching linearization under shard_map over the mesh (factors split across
+devices, poses replicated, per-factor blocks gathered back).
+
+Padding buckets keep recompiles logarithmic in map size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glim_tpu.ops import factors as fct
+from glim_tpu.ops import gicp, lie, solver
+from glim_tpu.ops import imu as imu_ops
+
+BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def bucket(n: int) -> int:
+    for b in BUCKETS:
+        if b >= n:
+            return b
+    return ((n + 1023) // 1024) * 1024
+
+
+def _between_system_full(T_i, T_j, Z, info):
+    """SE3 Between factor with a full 6x6 information matrix (carries the
+    GICP-Hessian noise of reference global_mapping.cpp:379-428)."""
+    Z_inv = lie.se3_inv(Z)
+
+    def res(xi):
+        Ti = T_i @ lie.se3_exp(xi[:6])
+        Tj = T_j @ lie.se3_exp(xi[6:])
+        return lie.se3_log(Z_inv @ lie.se3_inv(Ti) @ Tj)
+
+    zero = jnp.zeros(12)
+    r = res(zero)
+    J = jax.jacfwd(res)(zero)
+    H = J.T @ info @ J
+    g = J.T @ (info @ r)
+    return H[:6, :6], H[:6, 6:], H[6:, 6:], g[:6], g[6:], r @ info @ r
+
+
+def _endpoint_imu_system(T_i, T_j, junc, A_R, A_L, pre, gravity):
+    """One endpoint-chain factor: dof [xi_i(6), xi_j(6), d_junc(12)]
+    (reference global_mapping.cpp:168-219)."""
+
+    def res(x):
+        xi_i, xi_j = x[:6], x[6:12]
+        v_R = junc[:3] + x[12:15]
+        v_L = junc[3:6] + x[15:18]
+        bias = junc[6:12] + x[18:24]
+        T_R = (T_i @ lie.se3_exp(xi_i)) @ A_R
+        T_L = (T_j @ lie.se3_exp(xi_j)) @ A_L
+        return imu_ops.imu_residual(T_R[:3, :3], T_R[:3, 3], v_R,
+                                    T_L[:3, :3], T_L[:3, 3], v_L,
+                                    bias, pre, gravity)
+
+    zero = jnp.zeros(24)
+    r = res(zero)
+    J = jax.jacfwd(res)(zero)
+    cov = pre.cov + jnp.eye(9) * 1e-6
+    info_r = jnp.linalg.solve(cov, r)
+    info_J = jnp.linalg.solve(cov, J)
+    return J.T @ info_J, J.T @ info_r, r @ info_r
+
+
+@partial(jax.jit, static_argnames=("Sp", "Fp", "Bp", "Jp", "Ap", "iters",
+                                   "shard_mesh"))
+def global_gn(poses0, junc0,
+              # matching factors (cached correspondences)
+              f_tgt, f_src, f_w, f_mu, f_ct, f_hit,
+              sm_pts, sm_covs,
+              # between factors (full 6x6 information)
+              b_i, b_j, b_Z, b_info, b_valid,
+              # IMU endpoint factors
+              m_i, m_j, m_AR, m_AL, m_pre, m_valid,
+              # priors / anchors / recovery
+              prior_T, prior_sqrt, grav_idx, grav_valid, grav_sqrt,
+              damping, gravity, matching_weight,
+              *, Sp: int, Fp: int, Bp: int, Jp: int, Ap: int,
+              iters: int = 5, shard_mesh=None):
+    """Damped-GN over submap poses (+ junction states). Returns
+    (poses', junc', err, min_diag (Sp,) — per-pose Hessian diagonal minima
+    for selective indeterminacy recovery)."""
+    D = Sp * 6 + Jp * 12
+    rows6 = jnp.arange(Sp)[:, None] * 6 + jnp.arange(6)[None, :]
+
+    f_rows_t = f_tgt[:, None] * 6 + jnp.arange(6)[None, :]       # (Fp, 6)
+    f_rows_s = f_src[:, None] * 6 + jnp.arange(6)[None, :]
+    b_rows_i = b_i[:, None] * 6 + jnp.arange(6)[None, :]
+    b_rows_j = b_j[:, None] * 6 + jnp.arange(6)[None, :]
+    m_rows = jnp.concatenate([
+        m_i[:, None] * 6 + jnp.arange(6)[None, :],
+        m_j[:, None] * 6 + jnp.arange(6)[None, :],
+        Sp * 6 + jnp.arange(Jp)[:, None] * 12 + jnp.arange(12)[None, :],
+    ], axis=1)                                                    # (Jp, 24)
+
+    def match_blocks(T):
+        def one(tgt, src, mu, ct, hit, w):
+            s = gicp.vgicp_linearize_cached(T[tgt], T[src], sm_pts[src],
+                                            sm_covs[src], mu, ct,
+                                            hit & (w > 0))
+            return (s.H_tt, s.H_ts, s.H_ss, s.b_t, s.b_s, s.error)
+
+        if shard_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            @partial(jax.shard_map, mesh=shard_mesh,
+                     in_specs=(P(), P("factors"), P("factors"), P("factors"),
+                               P("factors"), P("factors"), P("factors")),
+                     out_specs=P("factors"))
+            def run(T_rep, tgt, src, mu, ct, hit, w):
+                return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(
+                    tgt, src, mu, ct, hit, w)
+            return run(T, f_tgt, f_src, f_mu, f_ct, f_hit, f_w)
+        return jax.vmap(one)(f_tgt, f_src, f_mu, f_ct, f_hit, f_w)
+
+    def linearize(T, junc):
+        H = jnp.zeros((D, D))
+        g = jnp.zeros(D)
+
+        Htt, Hts, Hss, bt, bs, ev = match_blocks(T)
+        w = (matching_weight * f_w)[:, None, None]
+        wv = (matching_weight * f_w)[:, None]
+        H = H.at[f_rows_t[:, :, None], f_rows_t[:, None, :]].add(w * Htt)
+        H = H.at[f_rows_t[:, :, None], f_rows_s[:, None, :]].add(w * Hts)
+        H = H.at[f_rows_s[:, :, None], f_rows_t[:, None, :]].add(
+            w * jnp.swapaxes(Hts, 1, 2))
+        H = H.at[f_rows_s[:, :, None], f_rows_s[:, None, :]].add(w * Hss)
+        g = g.at[f_rows_t].add(wv * bt)
+        g = g.at[f_rows_s].add(wv * bs)
+        err = jnp.sum(matching_weight * f_w * ev)
+
+        Hii, Hij, Hjj, bi_, bj_, be = jax.vmap(_between_system_full)(
+            T[b_i], T[b_j], b_Z, b_info)
+        bw = b_valid.astype(jnp.float32)
+        H = H.at[b_rows_i[:, :, None], b_rows_i[:, None, :]].add(
+            bw[:, None, None] * Hii)
+        H = H.at[b_rows_i[:, :, None], b_rows_j[:, None, :]].add(
+            bw[:, None, None] * Hij)
+        H = H.at[b_rows_j[:, :, None], b_rows_i[:, None, :]].add(
+            bw[:, None, None] * jnp.swapaxes(Hij, 1, 2))
+        H = H.at[b_rows_j[:, :, None], b_rows_j[:, None, :]].add(
+            bw[:, None, None] * Hjj)
+        g = g.at[b_rows_i].add(bw[:, None] * bi_)
+        g = g.at[b_rows_j].add(bw[:, None] * bj_)
+        err = err + jnp.sum(bw * be)
+
+        if Jp > 0:
+            Hm, gm, em = jax.vmap(_endpoint_imu_system,
+                                  in_axes=(0, 0, 0, 0, 0, 0, None))(
+                T[m_i], T[m_j], junc, m_AR, m_AL, m_pre, gravity)
+            mw = m_valid.astype(jnp.float32)
+            H = H.at[m_rows[:, :, None], m_rows[:, None, :]].add(
+                mw[:, None, None] * Hm)
+            g = g.at[m_rows].add(mw[:, None] * gm)
+            err = err + jnp.sum(mw * em)
+            # Weak junction regularization keeps padded/unobserved states sane.
+            jrows = Sp * 6 + jnp.arange(Jp * 12)
+            H = H.at[jrows, jrows].add(1e-4)
+
+        pH, pb, perr = fct.prior_linearize(T[0][None], prior_T[None],
+                                           prior_sqrt[None])
+        H = H.at[:6, :6].add(pH[0])
+        g = g.at[:6].add(pb[0])
+        err = err + perr[0]
+
+        if Ap > 0:
+            ez = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (Ap, 1))
+            gH, gb, gerr = fct.rotate_vector3_linearize(
+                T[grav_idx], ez, ez, jnp.tile(grav_sqrt[None], (Ap, 3)))
+            gw = grav_valid.astype(jnp.float32)
+            garows = grav_idx[:, None] * 6 + jnp.arange(6)[None, :]
+            H = H.at[garows[:, :, None], garows[:, None, :]].add(
+                gw[:, None, None] * gH)
+            g = g.at[garows].add(gw[:, None] * gb)
+            err = err + jnp.sum(gw * gerr)
+
+        # Per-pose recovery damping + base regularization on padded slots.
+        H = H.at[rows6[:, :, None], rows6[:, None, :]].add(
+            damping[:, None, None] * jnp.eye(6)[None])
+        H = H + jnp.eye(D) * 1e-6
+        return H, g, err
+
+    def step(carry, _):
+        T, junc = carry
+        H, g, err = linearize(T, junc)
+        delta = solver.solve_damped(H, g, jnp.float32(1e-4))
+        dT = delta[:Sp * 6].reshape(Sp, 6)
+        T = T @ lie.se3_exp(dT)
+        junc = junc + delta[Sp * 6:].reshape(Jp, 12) if Jp else junc
+        return (T, junc), err
+
+    (T_fin, junc_fin), errs = jax.lax.scan(step, (poses0, junc0), None,
+                                           length=iters)
+    H_fin, _, err_fin = linearize(T_fin, junc_fin)
+    diag = jnp.diagonal(H_fin)[:Sp * 6].reshape(Sp, 6)
+    min_diag = jnp.min(diag, axis=1)
+    return T_fin, junc_fin, err_fin, min_diag
+
+
+def pad_stack(items, pad_to: int, template=None):
+    """Stack a list of identically-shaped device/numpy arrays and pad the
+    leading axis to ``pad_to`` with zeros (or the template entry)."""
+    if not items:
+        assert template is not None
+        z = jnp.zeros_like(jnp.asarray(template))
+        return jnp.tile(z[None], (pad_to,) + (1,) * z.ndim)
+    arr = jnp.stack([jnp.asarray(x) for x in items])
+    if len(items) < pad_to:
+        pad = [(0, pad_to - len(items))] + [(0, 0)] * (arr.ndim - 1)
+        arr = jnp.pad(arr, pad)
+    return arr
+
+
+def pad_stack_tree(trees, pad_to: int, zero_tree):
+    """Stack a list of pytrees (e.g. PreintegratedImu) with zero padding."""
+    import jax.tree_util as jtu
+    if not trees:
+        return jtu.tree_map(
+            lambda z: jnp.tile(jnp.zeros_like(z)[None], (pad_to,) + (1,) * z.ndim),
+            zero_tree)
+    stacked = jtu.tree_map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                           *trees)
+    if len(trees) < pad_to:
+        stacked = jtu.tree_map(
+            lambda a: jnp.pad(a, [(0, pad_to - len(trees))] + [(0, 0)] * (a.ndim - 1)),
+            stacked)
+    return stacked

@@ -6,14 +6,20 @@ config/config_global_mapping_{cpu,gpu}.json): submaps enter with
 odometry-chained initial poses; every submap within
 ``max_implicit_loop_distance`` whose overlap exceeds
 ``min_implicit_loop_overlap`` gets a VGICP matching-cost factor (implicit
-loop closure), plus odometry between factors, an isolation-prevention factor
-for unconnected neighbors, and IMU factors over submap endpoints; iSAM2 is
-replaced by periodic batch Levenberg-Marquardt over all submap poses with the
-matching-cost factors RE-LINEARIZED each iteration on device (this
-relinearization fan-out is the dominant cost and is embarrassingly parallel
-over factors — the multi-chip shard axis). Indeterminant-system recovery adds
-damping at the offending pose (reference :492-544). Save/load & multi-session
-merge live in glim_tpu.io.dump.
+loop closure), plus optional GICP-refined odometry between factors
+(:379-428), an isolation-prevention factor for unconnected neighbors, and
+IMU factors over submap endpoints (:168-219).
+
+iSAM2 is replaced by batched damped-GN over all submap poses
+(mapping/global_factors.py): matching factors live in stacked padded
+arrays with CACHED correspondences — the voxel lookups are refreshed only
+for factors whose relative pose moved since their last search (iSAM2's
+relinearization threshold, applied per factor), and the per-iteration
+relinearization is one vmapped device program whose factor axis is also
+the multi-chip shard axis. Indeterminant-system recovery damps exactly the
+offending poses, identified from the final Hessian's diagonal rank check
+(reference :492-544). Save/load & multi-session merge live in
+glim_tpu.io.dump.
 """
 
 from __future__ import annotations
@@ -26,15 +32,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from glim_tpu.mapping.callbacks import GlobalMappingCallbacks as CB
+from glim_tpu.mapping.global_factors import (bucket, global_gn, pad_stack,
+                                             pad_stack_tree)
 from glim_tpu.mapping.global_mapping_base import GlobalMappingBase
-from glim_tpu.ops import factors as fct
-from glim_tpu.ops import gicp, lie, solver
+from glim_tpu.ops import gicp, lie, lie_np, solver
 from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.types import SubMap
 from glim_tpu.utils.logging import create_module_logger
 from glim_tpu.utils.registry import register_module
 
 logger = create_module_logger("global")
+
+GRAVITY = np.array([0.0, 0.0, -9.80665], np.float32)
 
 
 @dataclass
@@ -43,7 +52,7 @@ class GlobalMappingParams:
     enable_optimization: bool = True
     init_pose_damping_scale: float = 1e10
     create_between_factors: bool = False
-    between_registration_type: str = "GICP"
+    between_registration_type: str = "GICP"      # GICP | NONE
     registration_error_factor_type: str = "VGICP"
     randomsampling_rate: float = 1.0
     submap_voxel_resolution: float = 0.5
@@ -58,6 +67,10 @@ class GlobalMappingParams:
     voxel_capacity: int = 32768
     lm_iterations: int = 5
     matching_weight: float = 1e-3
+    matching_points: int = 4096        # per-factor source-cloud budget
+    optimization_interval_submaps: int = 1   # sync-path gating
+    relinearize_trans: float = 0.2     # correspondence-refresh thresholds
+    relinearize_rot: float = 0.05
 
     @staticmethod
     def from_config(config) -> "GlobalMappingParams":
@@ -77,6 +90,7 @@ class GlobalMappingParams:
         p.submap_voxelmap_scaling_factor = g("submap_voxelmap_scaling_factor", 2.0)
         p.max_implicit_loop_distance = g("max_implicit_loop_distance", 100.0)
         p.min_implicit_loop_overlap = g("min_implicit_loop_overlap", 0.2)
+        p.optimization_interval_submaps = int(g("optimization_interval_submaps", 1))
         return p
 
 
@@ -87,25 +101,27 @@ class GlobalMapping(GlobalMappingBase):
         self.poses: List[np.ndarray] = []
         self.odom_poses: List[np.ndarray] = []
         self.voxelmaps: List[vmx.GaussianVoxelMap] = []
-        # Matching-cost factor pairs (target_idx, source_idx).
+        # Per-submap matching clouds (budgeted stride sample, device).
+        self._m_pts: List = []
+        self._m_covs: List = []
+        self._m_mask: List = []
+        # Matching-cost factors with cached correspondences, keyed by the
+        # (target, source) pair so external edits to matching_factors (tests,
+        # recover tooling) can never desynchronize the cache.
         self.matching_factors: List[Tuple[int, int]] = []
-        # Fixed between factors: (i, j, Z, sqrt_info_diag).
+        self._f_cache: dict = {}           # (tgt, src) -> mu/ct/hit + T_rel
+        # Between factors: (i, j, Z (4,4), info (6,6)).
         self.between_factors: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
-        # IMU endpoint-chain factors (reference :168-219): entry k connects
-        # submap k's right endpoint to submap k+1's left endpoint through a
-        # preintegrated IMU measurement + junction velocity/bias states.
+        # IMU endpoint-chain factors (reference :168-219).
         self.imu_factors: List[dict] = []
         self.junction_states: List[np.ndarray] = []   # (12,) [v_R, v_L, bias]
         self._imu_buffer: List[np.ndarray] = []
-        # Indeterminant-system recovery (reference :492-544): poses that made
-        # a solve blow up get a linear_damping block added on the next
-        # linearization. Maps submap index -> damping scale.
+        # Indeterminant-system recovery: submap index -> damping scale.
         self.recovery_damping: dict = {}
         # Gravity-alignment anchors: first submap of each appended session.
-        # RotateVector3Factor role (reference: mapping/global_mapping.cpp
-        # :168-219) — keeps a loaded session's up-direction pinned to world
-        # gravity while yaw/translation stay free to slide into alignment.
         self.gravity_anchors: List[int] = []
+        self._new_loop_since_opt = False
+        self._last_opt_count = 0
 
     # -- insertion --
 
@@ -126,29 +142,74 @@ class GlobalMapping(GlobalMappingBase):
         else:
             dZ = np.linalg.inv(self.odom_poses[-1]) @ T_odom
             T_est = self.poses[-1] @ dZ
-            # Odometry between factors are optional (reference :379-428,
-            # create_between_factors defaults to false for the VGICP config —
-            # the matching-cost factors carry the alignment).
-            if p.create_between_factors:
-                self.between_factors.append(
-                    (i - 1, i, dZ, np.full(6, 1.0 / 1e-1)))
 
         self.submaps.append(submap)
         self.odom_poses.append(T_odom)
         self.poses.append(T_est)
         self.voxelmaps.append(self._build_voxelmap(submap))
+        self._append_match_slice(submap)
+
+        # Optional odometry between factor, GICP-refined (reference
+        # :379-428: create_between_factors + between_registration_type).
+        if i > 0 and p.create_between_factors:
+            dZ = np.linalg.inv(self.odom_poses[i - 1]) @ self.odom_poses[i]
+            if p.between_registration_type.upper() == "GICP":
+                dZ, info = self._gicp_refine_between(i - 1, i, dZ)
+            else:
+                info = np.eye(6) * 1e2
+            self.between_factors.append((i - 1, i, dZ, info))
 
         self._create_matching_cost_factors(i)
         if p.enable_imu and i > 0:
             self._create_imu_factor(i - 1, i)
-        if p.enable_optimization:
+        # Sync-path gating: optimize when a loop appeared or on the interval
+        # (the async wrapper additionally runs periodic idle optimization).
+        due = (i + 1 - self._last_opt_count) >= p.optimization_interval_submaps
+        if p.enable_optimization and (self._new_loop_since_opt or due):
             self.optimize()
+
+    def _append_match_slice(self, submap: SubMap) -> None:
+        C = int(submap.frame.points.shape[0])
+        stride = max(1, C // self.params.matching_points)
+        pts = submap.frame.points[::stride]
+        covs = submap.frame.covs
+        if covs is None:
+            covs = jnp.zeros(submap.frame.points.shape[:1] + (3, 3), jnp.float32)
+        self._m_pts.append(pts)
+        self._m_covs.append(covs[::stride])
+        self._m_mask.append(submap.frame.mask[::stride])
+
+    def _gicp_refine_between(self, i: int, j: int, dZ: np.ndarray):
+        """Refine the odometry delta by GICP between the two submap clouds
+        and derive the information from the converged Hessian (reference
+        :379-428)."""
+        T_i = jnp.eye(4)
+        T_j = jnp.asarray(dZ, jnp.float32)
+        for _ in range(5):
+            s = gicp.gicp_linearize(T_i, T_j, self._m_pts[j], self._m_covs[j],
+                                    self._m_mask[j], self._m_pts[i],
+                                    self._m_covs[i], self._m_mask[i],
+                                    jnp.float32(2.0))
+            delta = solver.solve_damped(s.H_ss, s.b_s, jnp.float32(1e-4))
+            T_j = T_j @ lie.se3_exp(delta)
+        s = gicp.gicp_linearize(T_i, T_j, self._m_pts[j], self._m_covs[j],
+                                self._m_mask[j], self._m_pts[i],
+                                self._m_covs[i], self._m_mask[i],
+                                jnp.float32(2.0))
+        H = np.asarray(s.H_ss, np.float64)
+        n_in = int(np.asarray(s.num_inliers))
+        dZ_ref = np.asarray(T_j, np.float64)
+        if n_in < 100 or not np.all(np.isfinite(H)):
+            return dZ, np.eye(6) * 1e2
+        # Guard: keep the refinement within sanity of the odometry delta.
+        d = lie_np.se3_log(np.linalg.inv(dZ) @ dZ_ref)
+        if np.linalg.norm(d[3:]) > 1.0 or np.linalg.norm(d[:3]) > 0.3:
+            return dZ, np.eye(6) * 1e2
+        return _orthonormalize(dZ_ref), H + np.eye(6) * 1e-3
 
     def _create_imu_factor(self, i: int, j: int) -> None:
         """Preintegrate the IMU between submap i's right and submap j's left
-        endpoint and add the endpoint-chain factor (reference :168-219: the
-        E/V/B endpoint states that keep consecutive submaps gravity- and
-        velocity-consistent through global optimization)."""
+        endpoint and add the endpoint-chain factor (reference :168-219)."""
         sm_i, sm_j = self.submaps[i], self.submaps[j]
         if not (sm_i.frames and sm_j.frames):
             return
@@ -168,8 +229,6 @@ class GlobalMapping(GlobalMappingBase):
         pre, n = integ.integrate_imu(t0, t1, bias0)
         if n < 2:
             return
-        # Endpoint offsets relative to the submap origins (world pose of the
-        # endpoint = submap_pose @ A).
         A_R = np.linalg.inv(np.asarray(sm_i.T_world_origin)) @ fr_R.T_world_imu
         A_L = np.linalg.inv(np.asarray(sm_j.T_world_origin)) @ fr_L.T_world_imu
         self.imu_factors.append(dict(i=i, j=j, pre=pre,
@@ -181,37 +240,6 @@ class GlobalMapping(GlobalMappingBase):
         self.junction_states.append(np.concatenate([v0, v1, bias0]))
         logger.info("IMU endpoint factor %d -> %d (%d samples, dt %.2fs)",
                     i, j, n, t1 - t0)
-
-    def _imu_factor_system(self, fac: dict, T_i, T_j, junc):
-        """Linearize one endpoint-chain factor. Returns (H (21,21), b (21),
-        err) over [xi_i (6), xi_j (6), d_junction (9: v_R, v_L... bias handled
-        inside as 6 more -> total dof = 6+6+12 = 24)]."""
-        import jax
-        from glim_tpu.ops import imu as imu_ops
-        from glim_tpu.ops import lie as lie_dev
-        A_R = jnp.asarray(fac["A_R"])
-        A_L = jnp.asarray(fac["A_L"])
-        pre = fac["pre"]
-        grav = jnp.asarray([0.0, 0.0, -9.80665], jnp.float32)
-
-        def res(x):
-            xi_i, xi_j = x[:6], x[6:12]
-            v_R = junc[:3] + x[12:15]
-            v_L = junc[3:6] + x[15:18]
-            bias = junc[6:12] + x[18:24]
-            T_R = (T_i @ lie_dev.se3_exp(xi_i)) @ A_R
-            T_L = (T_j @ lie_dev.se3_exp(xi_j)) @ A_L
-            return imu_ops.imu_residual(T_R[:3, :3], T_R[:3, 3], v_R,
-                                        T_L[:3, :3], T_L[:3, 3], v_L,
-                                        bias, pre, grav)
-
-        zero = jnp.zeros(24)
-        r = res(zero)
-        J = jax.jacfwd(res)(zero)
-        cov = pre.cov + jnp.eye(9) * 1e-6
-        info_r = jnp.linalg.solve(cov, r)
-        info_J = jnp.linalg.solve(cov, J)
-        return J.T @ info_J, J.T @ info_r, r @ info_r
 
     def _build_voxelmap(self, submap: SubMap) -> vmx.GaussianVoxelMap:
         p = self.params
@@ -230,6 +258,41 @@ class GlobalMapping(GlobalMappingBase):
         return vmx.voxelmap_insert(vm, submap.frame.points, submap.frame.mask,
                                    covs, jnp.int32(0))
 
+    # -- matching factors (cached correspondences) --
+
+    def _register_matching_factor(self, tgt: int, src: int) -> None:
+        self.matching_factors.append((tgt, src))
+        self._f_cache[(tgt, src)] = self._lookup_factor(tgt, src)
+        if tgt != src - 1:
+            self._new_loop_since_opt = True
+
+    def _lookup_factor(self, tgt: int, src: int) -> dict:
+        T_rel = np.linalg.inv(self.poses[tgt]) @ self.poses[src]
+        mu, ct, hit = gicp.vgicp_lookup(
+            jnp.asarray(self.poses[tgt], jnp.float32),
+            jnp.asarray(self.poses[src], jnp.float32),
+            self._m_pts[src], self._m_mask[src], self.voxelmaps[tgt])
+        return dict(mu=mu, ct=ct, hit=hit, T_rel=T_rel)
+
+    def _refresh_stale_factors(self) -> int:
+        """Re-search correspondences for factors whose relative pose moved
+        beyond the relinearization threshold (iSAM2-style lazy relin)."""
+        p = self.params
+        n = 0
+        for (tgt, src) in self.matching_factors:
+            cache = self._f_cache.get((tgt, src))
+            if cache is None:
+                self._f_cache[(tgt, src)] = self._lookup_factor(tgt, src)
+                n += 1
+                continue
+            T_rel = np.linalg.inv(self.poses[tgt]) @ self.poses[src]
+            d = lie_np.se3_log(np.linalg.inv(cache["T_rel"]) @ T_rel)
+            if (np.linalg.norm(d[3:]) > p.relinearize_trans
+                    or np.linalg.norm(d[:3]) > p.relinearize_rot):
+                self._f_cache[(tgt, src)] = self._lookup_factor(tgt, src)
+                n += 1
+        return n
+
     def _create_matching_cost_factors(self, i: int) -> None:
         """Implicit loop closure: factors to all overlapping nearby submaps
         (reference :430-484)."""
@@ -241,181 +304,197 @@ class GlobalMapping(GlobalMappingBase):
             if dist > p.max_implicit_loop_distance:
                 continue
             T_rel = jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i], jnp.float32)
-            ov = float(vmx.voxelmap_overlap(self.voxelmaps[j], self.submaps[i].frame.points,
-                                            self.submaps[i].frame.mask, T_rel))
+            ov = float(vmx.voxelmap_overlap(self.voxelmaps[j], self._m_pts[i],
+                                            self._m_mask[i], T_rel))
             if ov < p.min_implicit_loop_overlap:
                 continue
-            self.matching_factors.append((j, i))
+            self._register_matching_factor(j, i)
             connected = True
             if j != i - 1:
                 logger.info("implicit loop factor %d <-> %d (overlap %.2f)", j, i, ov)
         if not connected and i > 0:
-            # Isolation prevention (reference :475-481): keep the graph
-            # connected with a between factor to the previous submap.
+            # Isolation prevention (reference :475-481).
             dZ = np.linalg.inv(self.odom_poses[i - 1]) @ self.odom_poses[i]
-            self.between_factors.append((i - 1, i, dZ, np.full(6, 10.0)))
+            self.between_factors.append((i - 1, i, dZ, np.eye(6) * 100.0))
             logger.warning("submap %d isolated; added between factor", i)
 
     # -- optimization --
 
-    def _linearize_all(self, poses_dev: jnp.ndarray):
-        """One full linearization: matching-cost factors on device + between
-        factors + gauge prior; returns (H, b, err) as numpy-backed device arrays."""
+    def _padded_args(self):
+        """Assemble the padded stacked arrays for global_gn."""
         p = self.params
-        N = len(self.submaps)
-        D = N * 6
-        H = jnp.zeros((D, D))
-        b = jnp.zeros(D)
-        err = jnp.zeros(())
+        S = len(self.submaps)
+        F = len(self.matching_factors)
+        B = len(self.between_factors)
+        J = len(self.junction_states)
+        A = len(self.gravity_anchors)
+        Sp, Fp, Bp, Jp, Ap = bucket(S), bucket(max(F, 1)), bucket(max(B, 1)), \
+            (bucket(J) if J else 0), (bucket(A) if A else 0)
 
-        for (tgt, src) in self.matching_factors:
-            sm = self.submaps[src]
-            covs = sm.frame.covs
-            if covs is None:
-                covs = jnp.zeros(sm.frame.points.shape[:1] + (3, 3), jnp.float32)
-            s = gicp.vgicp_linearize(poses_dev[tgt], poses_dev[src],
-                                     sm.frame.points, covs, sm.frame.mask,
-                                     self.voxelmaps[tgt])
-            w = p.matching_weight
-            ti, si = tgt * 6, src * 6
-            H = H.at[ti:ti + 6, ti:ti + 6].add(w * s.H_tt)
-            H = H.at[ti:ti + 6, si:si + 6].add(w * s.H_ts)
-            H = H.at[si:si + 6, ti:ti + 6].add(w * s.H_ts.T)
-            H = H.at[si:si + 6, si:si + 6].add(w * s.H_ss)
-            b = b.at[ti:ti + 6].add(w * s.b_t)
-            b = b.at[si:si + 6].add(w * s.b_s)
-            err = err + w * s.error
+        poses = pad_stack([np.asarray(T, np.float32) for T in self.poses], Sp,
+                          np.eye(4, dtype=np.float32))
+        # Padded pose slots get identity; keep them sane via damping below.
+        f_tgt = pad_stack([np.int32(t) for t, _ in self.matching_factors], Fp,
+                          np.int32(0))
+        f_src = pad_stack([np.int32(s) for _, s in self.matching_factors], Fp,
+                          np.int32(0))
+        f_w = pad_stack([np.float32(1.0)] * F, Fp, np.float32(0.0))
+        M = int(self._m_pts[0].shape[0])
+        zero_mu = np.zeros((M, 3), np.float32)
+        zero_ct = np.zeros((M, 3, 3), np.float32)
+        zero_hit = np.zeros((M,), bool)
+        caches = []
+        for (t, sidx) in self.matching_factors:
+            c = self._f_cache.get((t, sidx))
+            if c is None:     # externally added pair: search on demand
+                c = self._lookup_factor(t, sidx)
+                self._f_cache[(t, sidx)] = c
+            caches.append(c)
+        f_mu = pad_stack([c["mu"] for c in caches], Fp, zero_mu)
+        f_ct = pad_stack([c["ct"] for c in caches], Fp, zero_ct)
+        f_hit = pad_stack([c["hit"] for c in caches], Fp, zero_hit)
+        sm_pts = pad_stack(self._m_pts, Sp, zero_mu)
+        sm_covs = pad_stack(self._m_covs, Sp, zero_ct)
 
-        if self.between_factors:
-            bi = jnp.asarray([f[0] for f in self.between_factors], jnp.int32)
-            bj = jnp.asarray([f[1] for f in self.between_factors], jnp.int32)
-            bZ = jnp.asarray(np.stack([f[2] for f in self.between_factors]), jnp.float32)
-            binfo = jnp.asarray(np.stack([f[3] for f in self.between_factors]), jnp.float32)
-            bhub = jnp.full((len(self.between_factors),), -1.0)
-            batch = fct.between_linearize(poses_dev[bi], poses_dev[bj], bZ, binfo, bhub)
-            H, b = fct.scatter_between(H, b, batch, bi, bj)
-            err = err + jnp.sum(batch.error)
+        b_i = pad_stack([np.int32(f[0]) for f in self.between_factors], Bp,
+                        np.int32(0))
+        b_j = pad_stack([np.int32(f[1]) for f in self.between_factors], Bp,
+                        np.int32(0))
+        b_Z = pad_stack([np.asarray(f[2], np.float32) for f in self.between_factors],
+                        Bp, np.eye(4, dtype=np.float32))
+        b_info = pad_stack([np.asarray(f[3], np.float32) for f in self.between_factors],
+                           Bp, np.eye(6, dtype=np.float32))
+        b_valid = pad_stack([True] * B, Bp, False)
 
-        # Gauge prior on submap 0.
-        pH, pb, perr = fct.prior_linearize(
-            poses_dev[0][None], jnp.asarray(self.poses[0], jnp.float32)[None],
-            jnp.full((1, 6), np.sqrt(p.init_pose_damping_scale), jnp.float32))
-        H = H.at[:6, :6].add(pH[0])
-        b = b.at[:6].add(pb[0])
-        err = err + perr[0]
+        if Jp:
+            from glim_tpu.odometry.window_estimator import _zero_preints
+            zero_pre = jax.tree_util.tree_map(lambda x: x[0], _zero_preints(2))
+            m_i = pad_stack([np.int32(f["i"]) for f in self.imu_factors], Jp,
+                            np.int32(0))
+            m_j = pad_stack([np.int32(f["j"]) for f in self.imu_factors], Jp,
+                            np.int32(0))
+            m_AR = pad_stack([f["A_R"] for f in self.imu_factors], Jp,
+                             np.eye(4, dtype=np.float32))
+            m_AL = pad_stack([f["A_L"] for f in self.imu_factors], Jp,
+                             np.eye(4, dtype=np.float32))
+            m_pre = pad_stack_tree([f["pre"] for f in self.imu_factors], Jp,
+                                   zero_pre)
+            m_valid = pad_stack([True] * len(self.imu_factors), Jp, False)
+            junc = pad_stack([np.asarray(x, np.float32)
+                              for x in self.junction_states], Jp,
+                             np.zeros(12, np.float32))
+        else:
+            m_i = m_j = jnp.zeros(0, jnp.int32)
+            m_AR = m_AL = jnp.zeros((0, 4, 4), jnp.float32)
+            m_valid = jnp.zeros(0, bool)
+            junc = jnp.zeros((0, 12), jnp.float32)
+            from glim_tpu.odometry.window_estimator import _zero_preints
+            m_pre = jax.tree_util.tree_map(lambda x: x[:0], _zero_preints(2))
 
-        # Gravity alignment of appended sessions (RotateVector3Factor role).
-        if self.gravity_anchors:
-            ez = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
-            si = jnp.full((1, 3), np.sqrt(p.init_pose_damping_scale) * 0.1,
-                          jnp.float32)
-            for a in self.gravity_anchors:
-                gH, gb, gerr = fct.rotate_vector3_linearize(
-                    poses_dev[a][None], ez, ez, si)
-                ai = a * 6
-                H = H.at[ai:ai + 6, ai:ai + 6].add(gH[0])
-                b = b.at[ai:ai + 6].add(gb[0])
-                err = err + gerr[0]
+        if Ap:
+            grav_idx = pad_stack([np.int32(a) for a in self.gravity_anchors],
+                                 Ap, np.int32(0))
+            grav_valid = pad_stack([True] * A, Ap, False)
+        else:
+            grav_idx = jnp.zeros(0, jnp.int32)
+            grav_valid = jnp.zeros(0, bool)
 
-        # Recovery damping at poses flagged by a previous failed solve
-        # (gtsam_points::LinearDampingFactor role, reference :505-543).
+        damping = np.full(Sp, 1e-3, np.float32)
+        damping[:S] = 0.0
         for k, scale in self.recovery_damping.items():
-            ki = k * 6
-            H = H.at[ki:ki + 6, ki:ki + 6].add(fct.linear_damping(6, scale))
+            if k < Sp:
+                damping[k] = scale
 
-        H = H + jnp.eye(D) * 1e-6
-        return H, b, err
+        return dict(
+            poses0=poses, junc0=junc,
+            f_tgt=f_tgt, f_src=f_src, f_w=f_w, f_mu=f_mu, f_ct=f_ct,
+            f_hit=f_hit, sm_pts=sm_pts, sm_covs=sm_covs,
+            b_i=b_i, b_j=b_j, b_Z=b_Z, b_info=b_info, b_valid=b_valid,
+            m_i=m_i, m_j=m_j, m_AR=m_AR, m_AL=m_AL, m_pre=m_pre,
+            m_valid=m_valid,
+            prior_T=jnp.asarray(self.poses[0], jnp.float32),
+            prior_sqrt=jnp.full(6, np.sqrt(p.init_pose_damping_scale),
+                                jnp.float32),
+            grav_idx=grav_idx, grav_valid=grav_valid,
+            grav_sqrt=jnp.asarray(np.sqrt(p.init_pose_damping_scale) * 0.1,
+                                  jnp.float32),
+            damping=jnp.asarray(damping),
+            gravity=jnp.asarray(GRAVITY),
+            matching_weight=jnp.float32(p.matching_weight),
+        ), dict(Sp=Sp, Fp=Fp, Bp=Bp, Jp=Jp, Ap=Ap)
 
-    def optimize(self) -> None:
+    def optimize(self, mesh=None) -> None:
         p = self.params
         N = len(self.submaps)
         if N < 2:
             return
         CB.on_smoother_update(self, None, None)
-        J = len(self.junction_states)
-        Dp = N * 6
+        self._new_loop_since_opt = False
+        self._last_opt_count = N
 
-        def linearize(x):
-            poses, junc = x
-            H, b, err = self._linearize_all(poses)
+        for round_ in range(2):
+            args, dims = self._padded_args()
+            T_fin, junc_fin, err, min_diag = global_gn(
+                **args, **dims, iters=p.lm_iterations, shard_mesh=mesh)
+            new_poses = np.asarray(T_fin, np.float64)[:N]
+            ok = np.all(np.isfinite(new_poses))
+            if not ok:
+                # Selective indeterminant-system recovery (reference
+                # :492-544): damp exactly the rank-deficient poses,
+                # identified from the Hessian diagonal.
+                md = np.asarray(min_diag)[:N]
+                bad = np.where(~np.isfinite(md) | (md < 1e-4))[0]
+                if len(bad) == 0:
+                    bad = np.where(~np.isfinite(new_poses).reshape(N, -1)
+                                   .all(axis=1))[0]
+                for k in bad:
+                    self.recovery_damping[int(k)] = 1e6
+                logger.warning("indeterminant linear system: damping poses %s "
+                               "and re-optimizing", list(map(int, bad)))
+                args, dims = self._padded_args()
+                T_fin, junc_fin, err, min_diag = global_gn(
+                    **args, **dims, iters=p.lm_iterations, shard_mesh=mesh)
+                self.recovery_damping.clear()
+                new_poses = np.asarray(T_fin, np.float64)[:N]
+                if not np.all(np.isfinite(new_poses)):
+                    logger.error("recovery failed; keeping previous poses")
+                    return
+            for k in range(N):
+                self.poses[k] = _orthonormalize(new_poses[k])
+                self.submaps[k].T_world_origin = self.poses[k].copy()
+            J = len(self.junction_states)
             if J:
-                # Extend with the junction-state block and IMU factors.
-                D = Dp + J * 12
-                H_ext = jnp.zeros((D, D)).at[:Dp, :Dp].set(H)
-                b_ext = jnp.zeros(D).at[:Dp].set(b)
-                H_ext = H_ext.at[Dp:, Dp:].add(jnp.eye(J * 12) * 1e-4)
-                for fac in self.imu_factors:
-                    i, jj, jn = fac["i"], fac["j"], fac["junction"]
-                    Hf, bf, ef = self._imu_factor_system(
-                        fac, poses[i], poses[jj], junc[jn])
-                    # dof order inside Hf: [xi_i(0:6), xi_j(6:12), junc(12:24)]
-                    sl = [jnp.arange(i * 6, i * 6 + 6),
-                          jnp.arange(jj * 6, jj * 6 + 6),
-                          jnp.arange(Dp + jn * 12, Dp + jn * 12 + 12)]
-                    idx = jnp.concatenate(sl)
-                    H_ext = H_ext.at[jnp.ix_(idx, idx)].add(Hf)
-                    b_ext = b_ext.at[idx].add(bf)
-                    err = err + ef
-                return H_ext, b_ext, err
-            return H, b, err
-
-        def retract(x, delta):
-            poses, junc = x
-            poses = poses @ lie.se3_exp(delta[:Dp].reshape(N, 6))
-            if J:
-                junc = junc + delta[Dp:].reshape(J, 12)
-            return (poses, junc)
-
-        x0 = (jnp.asarray(np.stack(self.poses), jnp.float32),
-              jnp.asarray(np.stack(self.junction_states), jnp.float32)
-              if J else jnp.zeros((0, 12), jnp.float32))
-        res = solver.lm_optimize(linearize, retract, x0,
-                                 solver.TerminationCriteria(max_iterations=p.lm_iterations))
-        CB.on_smoother_update_result(self, res)
-
-        new_poses = np.asarray(res.x[0], np.float64)
-        if not np.all(np.isfinite(new_poses)):
-            # Indeterminant-system recovery (reference :492-544): damp the
-            # offending poses and re-solve from the pre-update values once.
-            bad = np.where(~np.isfinite(new_poses).all(axis=(1, 2)))[0]
-            for k in (bad if len(bad) else range(N)):
-                self.recovery_damping[int(k)] = 1e6
-            logger.warning("indeterminant linear system: damping poses %s "
-                           "and re-optimizing", list(bad))
-            res = solver.lm_optimize(
-                linearize, retract, x0,
-                solver.TerminationCriteria(max_iterations=p.lm_iterations))
-            self.recovery_damping.clear()
-            new_poses = np.asarray(res.x[0], np.float64)
-            if not np.all(np.isfinite(new_poses)):
-                logger.error("recovery failed; keeping previous poses")
-                return
-        for k in range(N):
-            self.poses[k] = _orthonormalize(new_poses[k])
-            self.submaps[k].T_world_origin = self.poses[k].copy()
-        if J:
-            juncs = np.asarray(res.x[1], np.float64)
-            self.junction_states = [juncs[k] for k in range(J)]
+                juncs = np.asarray(junc_fin, np.float64)
+                self.junction_states = [juncs[k] for k in range(J)]
+            # iSAM2-style relinearization sweep: if poses moved enough to
+            # invalidate cached correspondences, refresh and re-solve once.
+            if round_ == 0 and self._refresh_stale_factors() > 0:
+                continue
+            break
+        CB.on_smoother_update_result(self, dict(error=float(err)))
         CB.on_update_submaps(self.submaps)
 
     def find_overlapping_submaps(self, min_overlap: float) -> None:
-        """On-demand loop factor search over ALL pairs (reference :285-358)."""
+        """On-demand loop factor search, distance-gated before any point
+        data is touched (reference :285-358)."""
         p = self.params
         existing = set(self.matching_factors)
+        centers = np.stack([T[:3, 3] for T in self.poses]) if self.poses else \
+            np.zeros((0, 3))
         for i in range(len(self.submaps)):
-            for j in range(i):
-                if (j, i) in existing:
+            d = np.linalg.norm(centers[:i] - centers[i], axis=1) \
+                if i else np.zeros(0)
+            for j in np.where(d <= p.max_implicit_loop_distance)[0]:
+                if (int(j), i) in existing:
                     continue
-                dist = np.linalg.norm(self.poses[j][:3, 3] - self.poses[i][:3, 3])
-                if dist > p.max_implicit_loop_distance:
-                    continue
-                T_rel = jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i], jnp.float32)
+                T_rel = jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i],
+                                    jnp.float32)
                 ov = float(vmx.voxelmap_overlap(self.voxelmaps[j],
-                                                self.submaps[i].frame.points,
-                                                self.submaps[i].frame.mask, T_rel))
+                                                self._m_pts[i],
+                                                self._m_mask[i], T_rel))
                 if ov >= max(min_overlap, 0.01):
-                    self.matching_factors.append((j, i))
-                    existing.add((j, i))
+                    self._register_matching_factor(int(j), i)
+                    existing.add((int(j), i))
                     logger.info("found overlapping pair %d <-> %d (%.2f)", j, i, ov)
 
     def recover_graph(self) -> None:
@@ -431,7 +510,7 @@ class GlobalMapping(GlobalMappingBase):
         for k in range(1, len(self.submaps)):
             if k not in connected:
                 dZ = np.linalg.inv(self.odom_poses[k - 1]) @ self.odom_poses[k]
-                self.between_factors.append((k - 1, k, dZ, np.full(6, 10.0)))
+                self.between_factors.append((k - 1, k, dZ, np.eye(6) * 100.0))
                 logger.warning("recover_graph: re-chained submap %d", k)
 
     # -- output --
@@ -445,12 +524,11 @@ class GlobalMapping(GlobalMappingBase):
 
     def save(self, path: str) -> None:
         from glim_tpu.io.dump import save_dump
-        Zs = [f[2] for f in self.between_factors]
-        infos = [f[3] for f in self.between_factors]
         save_dump(path, self.submaps, self.poses, odom_poses=self.odom_poses,
                   factors=dict(i=[f[0] for f in self.between_factors],
                                j=[f[1] for f in self.between_factors],
-                               Z=Zs, info=infos,
+                               Z=[f[2] for f in self.between_factors],
+                               info=[f[3] for f in self.between_factors],
                                huber=[-1.0] * len(self.between_factors),
                                matching=list(self.matching_factors)))
 
@@ -470,13 +548,18 @@ class GlobalMapping(GlobalMappingBase):
             self.poses.append(np.asarray(T, np.float64))
             self.odom_poses.append(np.asarray(T, np.float64))
             self.voxelmaps.append(self._build_voxelmap(sm))
+            self._append_match_slice(sm)
         if factors:
             for i, j, Z, info in zip(factors["i"], factors["j"], factors["Z"],
                                      factors["info"]):
+                info = np.asarray(info, np.float64)
+                if info.ndim == 1:       # legacy diagonal sqrt-info dumps
+                    info = np.diag(info) ** 2
                 self.between_factors.append((base + int(i), base + int(j),
-                                             np.asarray(Z), np.asarray(info)))
+                                             np.asarray(Z), info))
             for pair in factors.get("matching", []):
-                self.matching_factors.append((base + int(pair[0]), base + int(pair[1])))
+                self._register_matching_factor(base + int(pair[0]),
+                                               base + int(pair[1]))
         logger.info("loaded %d submaps from %s (session offset %d)",
                     len(submaps), path, session_offset)
 

@@ -52,7 +52,7 @@ class OfflineViewer:
                             self.global_mapping.submaps[j], method="GNC")
             if res.inlier_fraction > 0.3:
                 self.global_mapping.between_factors.append(
-                    (i, j, res.T_target_source, np.full(6, 10.0)))
+                    (i, j, res.T_target_source, np.eye(6) * 100.0))
 
     def _closest_cross_pair(self, base: int):
         gm = self.global_mapping
