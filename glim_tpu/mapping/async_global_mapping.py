@@ -94,5 +94,11 @@ class AsyncGlobalMapping:
 
             if eos and self.input_submap_queue.empty() and not submaps:
                 with self._mutex:
+                    # Let the loop-detection thread (pose-graph backend)
+                    # finish its queue before the final solve.
+                    if hasattr(self.global_mapping, "wait_for_detection"):
+                        self.global_mapping.wait_for_detection()
                     self.global_mapping.optimize()
+                    if hasattr(self.global_mapping, "stop"):
+                        self.global_mapping.stop()
                 break

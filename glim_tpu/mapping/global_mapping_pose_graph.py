@@ -4,16 +4,22 @@ Equivalent capability to the reference's ``GlobalMappingPoseGraph``
 (reference: src/glim/mapping/global_mapping_pose_graph.cpp:251-473, params
 from config/config_global_mapping_pose_graph.json): SE3 between factors chain
 the submap odometry; loop candidates are gated by travel-distance difference
-and euclidean proximity, validated by registration + inlier fraction, and
-added as Huber-robust between factors; the whole graph is re-solved by batch
-LM (replacing iSAM2 — submap counts are small enough that a dense solve on
-the MXU beats incremental sparse factorization).
+and euclidean proximity with fast-forward skipping (:305-336), evaluated on
+a DEDICATED DETECTION THREAD draining a shuffled bounded candidate buffer
+(:346-473), validated by GICP/VGICP registration + point-inlier fraction
+(gtsam_points::inlier_fraction at gicp_max_correspondence_dist, :404,417),
+and added as Huber-robust between factors; the whole graph is re-solved by
+batch LM (replacing iSAM2 — submap counts are small enough that a dense
+solve on the MXU beats incremental sparse factorization).
 
 Graph capacities are padded to power-of-two classes so the jitted linearize/
 solve programs are reused as the map grows.
 """
 
 from __future__ import annotations
+
+import random
+import threading
 
 from dataclasses import dataclass
 from functools import partial
@@ -53,6 +59,7 @@ class GlobalMappingPoseGraphParams:
     loop_candidate_eval_per_insert: int = 2
     registration_iterations: int = 10
     voxel_capacity: int = 32768
+    enable_detection_thread: bool = True
 
     @staticmethod
     def from_config(config) -> "GlobalMappingPoseGraphParams":
@@ -72,6 +79,7 @@ class GlobalMappingPoseGraphParams:
         p.loop_factor_robust_width = g("loop_factor_robust_width", 1.0)
         p.loop_candidate_buffer_size = int(g("loop_candidate_buffer_size", 100))
         p.loop_candidate_eval_per_insert = int(g("loop_candidate_eval_per_thread", 2))
+        p.enable_detection_thread = g("enable_detection_thread", True)
         return p
 
 
@@ -129,6 +137,89 @@ def _register_vgicp_pair(T_init_rel, pts, covs, mask, vm, iters: int):
     return jax.lax.scan(gn, T_init_rel, None, length=iters)
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def _register_gicp_pair(T_init_rel, pts, covs, mask, tgt_pts, tgt_covs,
+                        tgt_mask, max_dist, iters: int):
+    """GICP registration mode: NN correspondences against the target
+    submap's points (reference registration_type="GICP" path)."""
+
+    def gn(T, _):
+        s = gicp.gicp_linearize(jnp.eye(4), T, pts, covs, mask,
+                                tgt_pts, tgt_covs, tgt_mask, max_dist)
+        delta = solver.solve_damped(s.H_ss, s.b_s, jnp.float32(1e-6))
+        return T @ lie.se3_exp(delta), s.error
+
+    return jax.lax.scan(gn, T_init_rel, None, length=iters)
+
+
+class LoopDetector:
+    """Dedicated loop-detection worker (reference
+    global_mapping_pose_graph.cpp:94,346-473): drains a bounded, shuffled
+    candidate buffer, evaluates registrations off the insertion path, and
+    queues accepted Huber between factors for the next optimize."""
+
+    def __init__(self, owner: "GlobalMappingPoseGraph"):
+        import atexit
+
+        from glim_tpu.utils.concurrent import ConcurrentVector
+        self.owner = owner
+        self.candidates = ConcurrentVector()
+        self.results = ConcurrentVector()
+        self._kill = threading.Event()
+        self._idle = threading.Event()
+        self._idle.set()
+        self._buffer = []
+        self._rng = random.Random(0)
+        self.thread = threading.Thread(target=self._run, daemon=True,
+                                       name="loop_detection")
+        self.thread.start()
+        # Daemon threads blocked in device dispatch at interpreter exit can
+        # abort the process; stop cleanly instead.
+        atexit.register(self.stop)
+
+    def push(self, cands) -> None:
+        if cands:
+            self._idle.clear()
+            self.candidates.insert(cands)
+
+    def drain(self):
+        return self.results.get_all_and_clear()
+
+    def wait_idle(self, timeout: float = 30.0) -> bool:
+        return self._idle.wait(timeout)
+
+    def stop(self) -> None:
+        self._kill.set()
+        if self.thread.is_alive():
+            self.thread.join(timeout=5.0)
+
+    def _run(self) -> None:
+        p = self.owner.params
+        while not self._kill.is_set():
+            new = self.candidates.get_all_and_clear_wait(timeout=0.1)
+            self._buffer.extend(new)
+            if not self._buffer:
+                self._idle.set()
+                continue
+            # Regulate the buffer: shuffle + trim (reference :407-411).
+            if len(self._buffer) > p.loop_candidate_buffer_size:
+                self._rng.shuffle(self._buffer)
+                del self._buffer[p.loop_candidate_buffer_size:]
+            batch = self._buffer[:max(p.loop_candidate_eval_per_insert, 1)]
+            del self._buffer[:len(batch)]
+            for (tgt, src, T_init) in batch:
+                if self._kill.is_set():
+                    break
+                try:
+                    res = self.owner._evaluate_candidate(tgt, src, T_init)
+                except Exception:   # device hiccup must not kill the thread
+                    logger.exception("loop candidate %d->%d evaluation failed",
+                                     tgt, src)
+                    continue
+                if res is not None:
+                    self.results.push_back(res)
+
+
 class GlobalMappingPoseGraph(GlobalMappingBase):
     def __init__(self, params: Optional[GlobalMappingPoseGraphParams] = None):
         self.params = params or GlobalMappingPoseGraphParams()
@@ -143,10 +234,24 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         self.f_Z: List[np.ndarray] = []
         self.f_info: List[np.ndarray] = []
         self.f_huber: List[float] = []
-        self.candidates: List[Tuple[int, int]] = []
+        self.candidates: List[Tuple[int, int, np.ndarray]] = []
         self.num_loops = 0
+        self._looped_pairs = set()
+        self.detector = LoopDetector(self) if self.params.enable_detection_thread \
+            else None
         # request_to_optimize servicing belongs to AsyncGlobalMapping (it owns
         # the worker thread); synchronous users call optimize() directly.
+
+    def stop(self) -> None:
+        if self.detector is not None:
+            self.detector.stop()
+            self.detector = None
+
+    def wait_for_detection(self, timeout: float = 30.0) -> None:
+        """Block until the detection thread has drained its queue (used by
+        end-of-sequence flushes and tests)."""
+        if self.detector is not None:
+            self.detector.wait_idle(timeout)
 
     # -- insertion --
 
@@ -179,7 +284,12 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         self.voxelmaps.append(vm)
 
         self._find_loop_candidates(i)
-        self._eval_candidates(p.loop_candidate_eval_per_insert)
+        if self.detector is not None:
+            self.detector.push(self.candidates)
+            self.candidates = []
+            self._collect_detected_loops()
+        else:
+            self._eval_candidates(p.loop_candidate_eval_per_insert)
 
         if p.enable_optimization:
             self.optimize()
@@ -187,39 +297,92 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
     # -- loop closure --
 
     def _find_loop_candidates(self, i: int) -> None:
+        """Gated candidate generation with fast-forward skipping
+        (reference :305-336)."""
         p = self.params
         pi = self.poses[i][:3, 3]
-        for j in range(i):
+        j = 0
+        while j < i:
+            direct = np.linalg.norm(self.poses[j][:3, 3] - pi)
+            if direct > p.max_neighbor_dist:
+                if j != 0 and direct > p.max_neighbor_dist * 2:
+                    # Fast forward: skip ahead proportionally to how far away
+                    # we are, using the recent average travel step.
+                    left = max(0, j - 3)
+                    step_avg = (self.travel_dist[j] - self.travel_dist[left]) \
+                        / max(j - left, 1)
+                    step = int(0.8 * direct / max(min(step_avg, 100.0), 1e-3))
+                    j += 1 + min(10, step)
+                else:
+                    j += 1
+                continue
             if self.travel_dist[i] - self.travel_dist[j] < p.min_travel_dist:
-                continue
-            if np.linalg.norm(self.poses[j][:3, 3] - pi) > p.max_neighbor_dist:
-                continue
-            self.candidates.append((j, i))
+                break
+            if (j, i) not in self._looped_pairs:
+                T_init = np.linalg.inv(self.poses[j]) @ self.poses[i]
+                self.candidates.append((j, i, T_init))
+            j += 1
         if len(self.candidates) > p.loop_candidate_buffer_size:
             self.candidates = self.candidates[-p.loop_candidate_buffer_size:]
 
     def _eval_candidates(self, budget: int) -> None:
-        p = self.params
+        """Synchronous candidate evaluation (enable_detection_thread=false)."""
         for _ in range(min(budget, len(self.candidates))):
-            tgt, src = self.candidates.pop(0)
-            sm = self.submaps[src]
-            T_rel_init = np.linalg.inv(self.poses[tgt]) @ self.poses[src]
-            covs = sm.frame.covs
-            if covs is None:
-                covs = jnp.zeros(sm.frame.points.shape[:1] + (3, 3), jnp.float32)
-            T_rel, errs = _register_vgicp_pair(
-                jnp.asarray(T_rel_init, jnp.float32), sm.frame.points, covs,
+            tgt, src, T_init = self.candidates.pop(0)
+            res = self._evaluate_candidate(tgt, src, T_init)
+            if res is not None:
+                self._accept_loop(res)
+
+    def _evaluate_candidate(self, tgt: int, src: int, T_init: np.ndarray):
+        """Registration + point-inlier-fraction validation (reference
+        :404-417 — gtsam_points::inlier_fraction at the correspondence
+        distance, NOT voxel overlap). Returns (tgt, src, Z, frac) or None."""
+        p = self.params
+        sm = self.submaps[src]
+        covs = sm.frame.covs
+        if covs is None:
+            covs = jnp.zeros(sm.frame.points.shape[:1] + (3, 3), jnp.float32)
+        if p.registration_type.upper() == "GICP":
+            tgt_sm = self.submaps[tgt]
+            tgt_covs = tgt_sm.frame.covs
+            if tgt_covs is None:
+                tgt_covs = jnp.zeros(tgt_sm.frame.points.shape[:1] + (3, 3),
+                                     jnp.float32)
+            T_rel, _ = _register_gicp_pair(
+                jnp.asarray(T_init, jnp.float32), sm.frame.points, covs,
+                sm.frame.mask, tgt_sm.frame.points, tgt_covs,
+                tgt_sm.frame.mask, jnp.float32(p.gicp_max_correspondence_dist),
+                p.registration_iterations)
+        else:
+            T_rel, _ = _register_vgicp_pair(
+                jnp.asarray(T_init, jnp.float32), sm.frame.points, covs,
                 sm.frame.mask, self.voxelmaps[tgt], p.registration_iterations)
-            ov = float(vmx.voxelmap_overlap(self.voxelmaps[tgt], sm.frame.points,
-                                            sm.frame.mask, T_rel))
-            if ov < p.min_inliear_fraction:
-                logger.debug("loop %d->%d rejected (inliers %.2f)", tgt, src, ov)
-                continue
-            Z = np.asarray(T_rel, np.float64)
-            self._add_factor(tgt, src, Z, 1.0 / p.loop_factor_stddev,
-                             p.loop_factor_robust_width)
-            self.num_loops += 1
-            logger.info("loop factor %d->%d accepted (inliers %.2f)", tgt, src, ov)
+        frac = float(gicp.inlier_fraction(
+            jnp.eye(4), T_rel, sm.frame.points, sm.frame.mask,
+            self.submaps[tgt].frame.points, self.submaps[tgt].frame.mask,
+            jnp.float32(p.gicp_max_correspondence_dist)))
+        if frac < p.min_inliear_fraction or not \
+                np.all(np.isfinite(np.asarray(T_rel))):
+            logger.debug("loop %d->%d rejected (inliers %.2f)", tgt, src, frac)
+            return None
+        return (tgt, src, np.asarray(T_rel, np.float64), frac)
+
+    def _accept_loop(self, res) -> None:
+        tgt, src, Z, frac = res
+        if (tgt, src) in self._looped_pairs:
+            return
+        self._looped_pairs.add((tgt, src))
+        p = self.params
+        self._add_factor(tgt, src, Z, 1.0 / p.loop_factor_stddev,
+                         p.loop_factor_robust_width)
+        self.num_loops += 1
+        logger.info("loop factor %d->%d accepted (inliers %.2f)", tgt, src, frac)
+
+    def _collect_detected_loops(self) -> None:
+        if self.detector is None:
+            return
+        for res in self.detector.drain():
+            self._accept_loop(res)
 
     def _add_factor(self, i: int, j: int, Z: np.ndarray, info: float, huber: float):
         self.f_i.append(i)
@@ -231,6 +394,7 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
     # -- optimization --
 
     def optimize(self) -> None:
+        self._collect_detected_loops()
         p = self.params
         N = len(self.poses)
         B = len(self.f_i)

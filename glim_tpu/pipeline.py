@@ -160,7 +160,13 @@ class GlimTPU:
                 self.sub_mapping.insert_frame(m)
             for sm in self.sub_mapping.submit_end_of_sequence():
                 self.global_mapping.insert_submap(sm)
+            # Pose-graph backend: let the loop-detection thread finish its
+            # candidate queue before the final solve, then stop it.
+            if hasattr(self.global_mapping, "wait_for_detection"):
+                self.global_mapping.wait_for_detection()
             self.global_mapping.optimize()
+            if hasattr(self.global_mapping, "stop"):
+                self.global_mapping.stop()
 
     # -- output --
 

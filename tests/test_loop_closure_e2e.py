@@ -30,7 +30,8 @@ def loop_config(tmp_path) -> str:
     patch("config_preprocess.json", lambda d: d["preprocess"].update(
         random_downsample_target=1500, downsample_resolution=0.4))
     patch("config_odometry_cpu.json", lambda d: d["odometry_estimation"].update(
-        registration_type="VGICP", vgicp_resolution=0.5, smoother_lag=0.5))
+        registration_type="VGICP", vgicp_resolution=0.5, smoother_lag=0.5,
+        initialization_window_size=0.5))
     patch("config_sub_mapping_cpu.json", lambda d: d["sub_mapping"].update(
         max_num_keyframes=4, keyframe_update_strategy="DISPLACEMENT",
         keyframe_update_interval_trans=1.2))
