@@ -3,24 +3,56 @@
 Prints one JSON line {"metric", "value", "unit", "vs_baseline"}; the baseline
 is the reference's real-time claim (10 Hz scan processing on a desktop GPU,
 reference docs/quickstart.md:6-10 — BASELINE.md).
+
+Three numbers are produced:
+  * odometry_scans_per_sec_10k_pts (headline): the flagship LiDAR-IMU
+    window odometry at the reference's 10k-point budget;
+  * vgicp_scans_per_sec: the LiDAR-only VGICP frame-to-model path;
+  * e2e_scans_per_sec: the FULL pipeline (preprocess -> odometry ->
+    sub-mapping -> global mapping, synchronous worst case).
+
+The flagship and e2e benches run in budgeted subprocesses so a cold XLA
+compile can never eat the whole benchmark window — partial compiles land in
+the persistent cache and the next run gets the numbers.
 """
 
 import json
+import os
+import subprocess
+import sys
+import tempfile
 import time
 
 import numpy as np
 
 
+def run_budgeted(tag: str, budget_s: float):
+    """Run `python bench.py --<tag>-only out.json` under a time budget."""
+    out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
+    try:
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        f"--{tag}-only", out], timeout=budget_s, check=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+        with open(out) as f:
+            return json.load(f)
+    except Exception:
+        return {f"{tag}_scans_per_sec": None,
+                f"{tag}_note": "compile exceeded benchmark budget; cached for next run"}
+    finally:
+        try:
+            os.unlink(out)
+        except OSError:
+            pass
+
+
 def main():
-    # Flagship LiDAR-IMU pipeline FIRST, in a budgeted subprocess and before
-    # this process creates its own device client (two clients sharing the
-    # chip contend on some tunneled setups): its first-ever XLA compile can
-    # exceed any reasonable benchmark window on remote-compile setups, and
-    # completed compiles land in the persistent cache so later runs get the
-    # numbers.
-    import os
-    imu_stats = bench_imu_subprocess(
-        budget_s=float(os.environ.get("GLIM_BENCH_IMU_BUDGET", "300")))
+    # Budgeted subprocesses FIRST (each creates its own device client; two
+    # clients sharing the tunneled chip contend, so they run sequentially
+    # before this process touches the device).
+    imu_stats = run_budgeted("imu", float(os.environ.get(
+        "GLIM_BENCH_IMU_BUDGET", "420")))
+    e2e_stats = run_budgeted("e2e", float(os.environ.get(
+        "GLIM_BENCH_E2E_BUDGET", "420")))
 
     from glim_tpu.io.synthetic import generate_sequence, ate_rmse
     from glim_tpu.odometry.odometry_estimation_cpu import (
@@ -40,61 +72,41 @@ def main():
         voxel_capacity=131072, max_iterations=8))
 
     frames = []
-    # Warmup: first few scans pay compilation.
     n_warm = 5
     for raw in seq.scans[:n_warm]:
         frames.append(odom.insert_frame(pp.preprocess(raw)))
     _ = [f.T_world_lidar for f in frames]  # drain the warmup queue
 
-    # Timed region: the host loop dispatches asynchronously (poses are
-    # consumed at the end, like a viewer polling at its own rate); the final
-    # fetches stay inside the timing so nothing is hidden.
     t0 = time.perf_counter()
     for raw in seq.scans[n_warm:]:
         frames.append(odom.insert_frame(pp.preprocess(raw)))
     est = [f.T_world_lidar for f in frames]
     elapsed = time.perf_counter() - t0
     n_timed = len(seq.scans) - n_warm
-    scans_per_sec = n_timed / elapsed
+    vgicp_sps = n_timed / elapsed
 
     T0 = seq.gt_poses[0]
     ate = ate_rmse([T0 @ T for T in est], seq.gt_poses, align=False)
 
+    # Headline: the flagship LiDAR-IMU number when available, otherwise the
+    # VGICP path (both against the 10 Hz real-time baseline).
+    headline = imu_stats.get("imu_scans_per_sec") or vgicp_sps
     print(json.dumps({
         "metric": "odometry_scans_per_sec_10k_pts",
-        "value": round(scans_per_sec, 2),
+        "value": round(headline, 2),
         "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / 10.0, 3),
-        "extra": {"ate_rmse_m": round(ate, 4), "n_scans": n_timed,
-                  **imu_stats},
+        "vs_baseline": round(headline / 10.0, 3),
+        "extra": {"vgicp_scans_per_sec": round(vgicp_sps, 2),
+                  "vgicp_ate_rmse_m": round(ate, 4),
+                  "n_scans": n_timed,
+                  **imu_stats, **e2e_stats},
     }))
 
 
-def bench_imu_subprocess(budget_s: float):
-    import os
-    import subprocess
-    import sys
-    import tempfile
-
-    out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
-    try:
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--imu-only", out], timeout=budget_s, check=True,
-                       cwd=os.path.dirname(os.path.abspath(__file__)))
-        with open(out) as f:
-            return json.load(f)
-    except Exception:
-        return {"imu_scans_per_sec": None,
-                "imu_note": "compile exceeded benchmark budget; cached for next run"}
-    finally:
-        try:
-            os.unlink(out)
-        except OSError:
-            pass
-
-
 def bench_imu_pipeline():
-    """Throughput + ATE of the tightly-coupled LiDAR-IMU estimator."""
+    """Throughput + ATE of the tightly-coupled LiDAR-IMU estimator with
+    DEFAULT capacity (smoother_lag=5.0 -> 48-state window, OVERLAP
+    keyframes) at the reference's 10k-point budget."""
     from glim_tpu.io.synthetic import ate_rmse, generate_sequence
     from glim_tpu.odometry.odometry_estimation_imu import (
         OdometryEstimationIMU, OdometryEstimationIMUParams)
@@ -111,9 +123,6 @@ def bench_imu_pipeline():
 
     frames = []
     imu_idx = 0
-    # Warmup must cover LOOSE init (~5 scans), the bootstrap-variant frames
-    # AND the first non-bootstrap frame (a separate compiled program whose
-    # cache load alone can take tens of seconds on tunneled setups).
     n_warm = 16
 
     def feed(raw):
@@ -141,14 +150,32 @@ def bench_imu_pipeline():
     gt = [seq.gt_poses[int(round(s * 10))] for s, _ in est]
     ate = ate_rmse([T for _, T in est], gt, align=True)
     return {"imu_scans_per_sec": round(n_timed / elapsed, 2),
-            "imu_ate_rmse_m": round(ate, 4)}
+            "imu_ate_rmse_m": round(ate, 4),
+            "imu_window": odom.W}
+
+
+def bench_e2e_pipeline():
+    """Full pipeline scans/s: preprocess -> LiDAR-IMU odometry ->
+    sub-mapping -> global mapping, all synchronous in one loop (worst case —
+    the production async wrappers overlap the stages)."""
+    from glim_tpu.io.synthetic import generate_sequence
+    from glim_tpu.tools.run_eval import run_sequence
+
+    seq = generate_sequence(duration=6.0, scan_hz=10.0, n_scan_points=20000,
+                            noise=0.01, seed=13, scene_points=120000)
+    m, _gm, sps, extra = run_sequence(seq)
+    return {"e2e_scans_per_sec": round(sps, 2),
+            "e2e_ate_rmse_m": round(m.ate_rmse, 4),
+            "e2e_n_submaps": extra["n_submaps"]}
 
 
 if __name__ == "__main__":
-    import sys
-
     if len(sys.argv) == 3 and sys.argv[1] == "--imu-only":
         stats = bench_imu_pipeline()
+        with open(sys.argv[2], "w") as f:
+            json.dump(stats, f)
+    elif len(sys.argv) == 3 and sys.argv[1] == "--e2e-only":
+        stats = bench_e2e_pipeline()
         with open(sys.argv[2], "w") as f:
             json.dump(stats, f)
     else:
