@@ -124,3 +124,61 @@ class TestCovariance:
         mn = np.asarray(m)
         assert not mn[30]
         assert mn[:30].mean() > 0.8
+
+
+class TestBandedKnnRecall:
+    """Quantify the Morton-banded approximate kNN (the preprocessing default)
+    against exact kNN on REALISTIC ring-structured raycast scans — covariance
+    quality drives GICP accuracy, so recall must stay high (round-1 audit
+    left it unmeasured)."""
+
+    def _recall_and_cov_error(self, pts, k=10, window=128):
+        import jax.numpy as jnp
+
+        from glim_tpu.ops import covariance as cov_ops
+        from glim_tpu.ops import knn
+
+        cap = 1 << int(np.ceil(np.log2(len(pts))))
+        buf = np.zeros((cap, 3), np.float32)
+        buf[:len(pts)] = pts
+        mask = np.zeros(cap, bool)
+        mask[:len(pts)] = True
+        pts_d = jnp.asarray(buf)
+        mask_d = jnp.asarray(mask)
+
+        idx_a, _ = knn.knn_banded(pts_d, mask_d, k, window=window, cell=0.5)
+        idx_e, _ = knn.knn_self(pts_d, mask_d, k)
+        a = np.asarray(idx_a)[mask]
+        e = np.asarray(idx_e)[mask]
+        recall = np.mean([len(set(a[i]) & set(e[i])) / k
+                          for i in range(len(a))])
+
+        cov_a, _ = cov_ops.estimate_covariances(pts_d, mask_d, idx_a, "plane")
+        cov_e, _ = cov_ops.estimate_covariances(pts_d, mask_d, idx_e, "plane")
+        ca = np.asarray(cov_a)[mask]
+        ce = np.asarray(cov_e)[mask]
+        cov_err = np.linalg.norm(ca - ce, axis=(1, 2)) / \
+            np.maximum(np.linalg.norm(ce, axis=(1, 2)), 1e-9)
+        return recall, float(np.median(cov_err))
+
+    def test_recall_on_raycast_scan(self):
+        from glim_tpu.io.synthetic import generate_raycast_sequence
+        seq = generate_raycast_sequence(duration=0.1, path="circle",
+                                        scene="room", n_channels=32,
+                                        n_azimuth=256, noise=0.01, seed=5)
+        pts = seq.scans[0].points[:8192]
+        recall, cov_err = self._recall_and_cov_error(pts)
+        # The banded search must find most true neighbors, and the resulting
+        # regularized covariances must be near-identical to exact-kNN ones.
+        assert recall > 0.75, recall
+        assert cov_err < 0.25, cov_err
+
+    def test_recall_on_corridor_scan(self):
+        from glim_tpu.io.synthetic import generate_raycast_sequence
+        seq = generate_raycast_sequence(duration=0.1, path="line",
+                                        scene="corridor", n_channels=16,
+                                        n_azimuth=256, noise=0.005, seed=6)
+        pts = seq.scans[0].points[:4096]
+        recall, cov_err = self._recall_and_cov_error(pts)
+        assert recall > 0.7, recall
+        assert cov_err < 0.3, cov_err
