@@ -339,9 +339,15 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         CB.on_update_frames(self._est_frames)
         CB.on_smoother_update_finish(self)
 
-        # Stash this scan's status; it is decoded when the NEXT scan arrives
-        # (the transfer has landed by then — no blocking sync per scan).
-        self._pending_status = (out["status"], frame.stamp,
+        # Stash this scan's status; it is decoded when the NEXT scan arrives.
+        # Start the device->host copy NOW so the decode never pays the
+        # tunnel roundtrip (~30 ms on remoted chips).
+        status = out["status"]
+        try:
+            status.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._pending_status = (status, frame.stamp,
                                 frame.stamp - self.last_frame_stamp)
         self._pending_frame = est
 

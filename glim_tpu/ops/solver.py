@@ -62,11 +62,19 @@ class LMResult:
 
 @jax.jit
 def solve_damped(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
-    """Solve (H + lam * diag(H) + eps I) delta = -b."""
-    D = H.shape[0]
+    """Solve (H + lam * diag(H) + eps I) delta = -b.
+
+    H is a damped GN Hessian (symmetric positive definite), so Cholesky —
+    about 3x cheaper than the LU path and friendlier to the TPU. If the
+    factorization degenerates (NaNs from an indefinite f32 H), fall back to
+    LU for that call; callers' corruption guards handle the rest."""
     damping = lam * jnp.diag(H) + 1e-9
     A = H + jnp.diag(damping)
-    return -jnp.linalg.solve(A, b)
+    L = jnp.linalg.cholesky(A)
+    x = jax.scipy.linalg.cho_solve((L, True), b)
+    return -jax.lax.cond(jnp.all(jnp.isfinite(x)),
+                         lambda _: x,
+                         lambda _: jnp.linalg.solve(A, b), None)
 
 
 def lm_optimize(linearize_fn: Callable[[Any], Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],

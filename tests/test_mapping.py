@@ -169,7 +169,8 @@ class TestGlobalMappingPoseGraph:
             enable_optimization=True, min_travel_dist=30.0, max_neighbor_dist=8.0,
             min_inliear_fraction=0.3, vgicp_voxel_resolution=1.0,
             odom_factor_stddev=0.3, loop_factor_stddev=0.05,
-            loop_factor_robust_width=10.0, registration_iterations=15))
+            loop_factor_robust_width=10.0, registration_iterations=15,
+            enable_detection_thread=False))   # deterministic unit test
         for k in range(len(true_poses)):
             sm = submap_at(k, true_poses[k])
             sm.T_world_origin = odom_poses[k]
