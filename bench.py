@@ -53,6 +53,8 @@ def main():
         "GLIM_BENCH_IMU_BUDGET", "420")))
     e2e_stats = run_budgeted("e2e", float(os.environ.get(
         "GLIM_BENCH_E2E_BUDGET", "420")))
+    e2e_async_stats = run_budgeted("e2e-async", float(os.environ.get(
+        "GLIM_BENCH_E2E_ASYNC_BUDGET", "420")))
 
     from glim_tpu.io.synthetic import generate_sequence, ate_rmse
     from glim_tpu.odometry.odometry_estimation_cpu import (
@@ -99,7 +101,7 @@ def main():
         "extra": {"vgicp_scans_per_sec": round(vgicp_sps, 2),
                   "vgicp_ate_rmse_m": round(ate, 4),
                   "n_scans": n_timed,
-                  **imu_stats, **e2e_stats},
+                  **imu_stats, **e2e_stats, **e2e_async_stats},
     }))
 
 
@@ -154,6 +156,51 @@ def bench_imu_pipeline():
             "imu_window": odom.W}
 
 
+def bench_e2e_async():
+    """Production end-to-end scans/s: the GlimTPU pipeline in async mode
+    (preprocess in the feed thread, odometry / sub-mapping / global mapping
+    on their own workers — the reference's deployment topology,
+    glim_ros/async wrappers). This is the number a live sensor stream sees."""
+    import jax
+
+    from glim_tpu.io.synthetic import generate_sequence
+    from glim_tpu.pipeline import GlimTPU
+
+    seq = generate_sequence(duration=6.0, scan_hz=10.0, n_scan_points=20000,
+                            noise=0.01, seed=17, scene_points=120000)
+    glim = GlimTPU(async_mode=True)
+    n_warm = 16
+    imu_idx = 0
+
+    def feed(raw):
+        nonlocal imu_idx
+        while imu_idx < len(seq.imu) and seq.imu[imu_idx, 0] <= raw.stamp + 0.12:
+            r = seq.imu[imu_idx]
+            glim.insert_imu(r[0], r[1:4], r[4:7])
+            imu_idx += 1
+        glim.insert_frame(raw)
+
+    for raw in seq.scans[:n_warm]:
+        feed(raw)
+    # Drain the warmup: wait until the odometry worker has consumed
+    # everything fed so far (compiles land here, not in the timed region).
+    while glim.odometry.workload() > 0:
+        time.sleep(0.02)
+        glim._pump()
+    odom = glim.odometry.odometry
+    if getattr(odom, "window", None) is not None:
+        jax.block_until_ready(odom.window.T)
+
+    t0 = time.perf_counter()
+    for raw in seq.scans[n_warm:]:
+        feed(raw)
+    glim.wait()
+    elapsed = time.perf_counter() - t0
+    n_timed = len(seq.scans) - n_warm
+    return {"e2e_async_scans_per_sec": round(n_timed / elapsed, 2),
+            "e2e_async_n_scans": n_timed}
+
+
 def bench_e2e_pipeline():
     """Full pipeline scans/s: preprocess -> LiDAR-IMU odometry ->
     sub-mapping -> global mapping, all synchronous in one loop (worst case —
@@ -172,6 +219,10 @@ def bench_e2e_pipeline():
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--imu-only":
         stats = bench_imu_pipeline()
+        with open(sys.argv[2], "w") as f:
+            json.dump(stats, f)
+    elif len(sys.argv) == 3 and sys.argv[1] == "--e2e-async-only":
+        stats = bench_e2e_async()
         with open(sys.argv[2], "w") as f:
             json.dump(stats, f)
     elif len(sys.argv) == 3 and sys.argv[1] == "--e2e-only":

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import random
 import threading
+import time
 
 from dataclasses import dataclass
 from functools import partial
@@ -185,8 +186,20 @@ class LoopDetector:
     def drain(self):
         return self.results.get_all_and_clear()
 
-    def wait_idle(self, timeout: float = 30.0) -> bool:
-        return self._idle.wait(timeout)
+    def wait_idle(self, timeout: float = 600.0) -> bool:
+        """Block until the queue AND buffer are drained and the last batch's
+        results have been pushed. A candidate evaluation can take minutes
+        when its registration program cold-compiles on a loaded host, so the
+        budget is generous; timing out mid-detection drops pending loops."""
+        deadline = time.monotonic() + timeout
+        while not self._idle.wait(timeout=1.0):
+            if not self.thread.is_alive():
+                return True
+            if time.monotonic() > deadline:
+                logger.warning("loop detection still busy after %.0f s; "
+                               "pending candidates will be dropped", timeout)
+                return False
+        return True
 
     def stop(self) -> None:
         self._kill.set()
@@ -247,7 +260,7 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
             self.detector.stop()
             self.detector = None
 
-    def wait_for_detection(self, timeout: float = 30.0) -> None:
+    def wait_for_detection(self, timeout: float = 600.0) -> None:
         """Block until the detection thread has drained its queue (used by
         end-of-sequence flushes and tests)."""
         if self.detector is not None:

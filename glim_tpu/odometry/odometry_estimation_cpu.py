@@ -82,6 +82,7 @@ class OdomDeviceState:
     T: jnp.ndarray        # (4, 4) T_world_lidar (scan-start frame)
     twist: jnp.ndarray    # (6,) body twist per second [omega, v]
     step: jnp.ndarray     # () int32 frame counter
+    rng: jnp.ndarray      # PRNG key, split in-step (stays device-resident)
     model: object         # GaussianVoxelMap or PointVoxelMap
 
 
@@ -101,7 +102,7 @@ def _common_prefix(state, pts, times, mask, neighbors, dt, enable_deskew):
     return deskewed, covs, normals, T_pred
 
 
-def _finish_step(state, T_new, dt, deskewed, covs, mask, rng, *,
+def _finish_step(state, T_new, dt, deskewed, covs, mask, *,
                  ema: float, bootstrap_frames: int, update_budget: int,
                  insert_fn):
     # Twist update with EMA smoothing (unfiltered twists close a positive
@@ -119,18 +120,19 @@ def _finish_step(state, T_new, dt, deskewed, covs, mask, rng, *,
     covs_w = jnp.einsum("ij,cjk,lk->cil", R, covs, R)
 
     C = w_pts.shape[0]
+    rng_next, sub = jax.random.split(state.rng)
     rate = jnp.where(state.step < bootstrap_frames, 1.0, update_budget / C)
-    keep = mask & (jax.random.uniform(rng, (C,)) < rate)
+    keep = mask & (jax.random.uniform(sub, (C,)) < rate)
     new_model = insert_fn(state.model, w_pts, keep, covs_w, state.step)
 
     return OdomDeviceState(T=T_new, twist=twist, step=state.step + 1,
-                           model=new_model)
+                           rng=rng_next, model=new_model)
 
 
 @partial(jax.jit, static_argnames=("iters", "ema", "bootstrap_frames",
                                    "update_budget", "enable_deskew"))
 def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
-                     rng, *, iters: int, ema: float, bootstrap_frames: int,
+                     *, iters: int, ema: float, bootstrap_frames: int,
                      update_budget: int, enable_deskew: bool):
     deskewed, covs, normals, T_pred = _common_prefix(
         state, pts, times, mask, neighbors, dt, enable_deskew)
@@ -153,7 +155,7 @@ def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
         return T, errs[-1]
 
     T_new, errs = jax.lax.scan(outer, T_pred, None, length=n_outer)
-    new_state = _finish_step(state, T_new, dt, deskewed, covs, mask, rng,
+    new_state = _finish_step(state, T_new, dt, deskewed, covs, mask,
                              ema=ema, bootstrap_frames=bootstrap_frames,
                              update_budget=update_budget,
                              insert_fn=vmx.voxelmap_insert)
@@ -164,7 +166,7 @@ def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
 @partial(jax.jit, static_argnames=("iters", "ema", "bootstrap_frames",
                                    "update_budget", "enable_deskew"))
 def _gicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
-                    rng, max_dist, *, iters: int, ema: float,
+                    max_dist, *, iters: int, ema: float,
                     bootstrap_frames: int, update_budget: int,
                     enable_deskew: bool):
     deskewed, covs, normals, T_pred = _common_prefix(
@@ -193,7 +195,7 @@ def _gicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
         return T, errs[-1]
 
     T_new, errs = jax.lax.scan(outer, T_pred, None, length=n_outer)
-    new_state = _finish_step(state, T_new, dt, deskewed, covs, mask, rng,
+    new_state = _finish_step(state, T_new, dt, deskewed, covs, mask,
                              ema=ema, bootstrap_frames=bootstrap_frames,
                              update_budget=update_budget,
                              insert_fn=vmx.pointmap_insert)
@@ -211,8 +213,9 @@ class OdometryEstimationCPU(OdometryEstimationBase):
         else:
             model = vmx.empty_point_voxelmap(p.model_capacity, p.ivox_min_dist)
         self.state = OdomDeviceState(T=jnp.eye(4), twist=jnp.zeros(6),
-                                     step=jnp.int32(0), model=model)
-        self._rng = jax.random.PRNGKey(1)
+                                     step=jnp.int32(0),
+                                     rng=jax.random.PRNGKey(1), model=model)
+        self._d_max_dist = jnp.float32(p.max_correspondence_distance)
         self.frame_count = 0
         self.last_stamp: Optional[float] = None
         self.frames: List[EstimationFrame] = []
@@ -229,7 +232,6 @@ class OdometryEstimationCPU(OdometryEstimationBase):
         CB.on_insert_frame(frame)
         p = self.params
         dt = 0.1 if self.last_stamp is None else max(frame.stamp - self.last_stamp, 1e-3)
-        self._rng, sub = jax.random.split(self._rng)
 
         kwargs = dict(iters=p.max_iterations, ema=p.twist_smoothing,
                       bootstrap_frames=p.bootstrap_frames,
@@ -239,13 +241,12 @@ class OdometryEstimationCPU(OdometryEstimationBase):
             self.state, out = _vgicp_scan_step(
                 self.state, frame.device_points, frame.device_times,
                 frame.device_mask, frame.device_neighbors,
-                jnp.float32(dt), sub, **kwargs)
+                jnp.float32(dt), **kwargs)
         else:
             self.state, out = _gicp_scan_step(
                 self.state, frame.device_points, frame.device_times,
                 frame.device_mask, frame.device_neighbors,
-                jnp.float32(dt), sub, jnp.float32(p.max_correspondence_distance),
-                **kwargs)
+                jnp.float32(dt), self._d_max_dist, **kwargs)
         T_dev, v_dev, deskewed, covs, normals, errs = out
 
         est = EstimationFrame(

@@ -83,6 +83,7 @@ class OdometryEstimationCPUIMU(OdometryEstimationIMU):
         self.use_vgicp = p.registration_type.upper().startswith("VGICP")
         self._matching = "vgicp" if self.use_vgicp else "gicp"
         self._max_corr_dist = p.ivox_resolution * 2.0
+        self._d_max_corr_dist = jnp.float32(self._max_corr_dist)
         self._rng = jax.random.PRNGKey(7)
         self._last_kf_T = jnp.eye(4)       # displacement reference (unused
         #                                    by strategies here, fed to the step)

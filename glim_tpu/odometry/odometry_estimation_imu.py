@@ -173,6 +173,23 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         self.window: Optional[WindowState] = None          # lazy (needs C)
         self._est_frames: List[EstimationFrame] = []
 
+        # Constant step arguments, uploaded ONCE and reused every scan: on
+        # remoted chips every host->device transfer costs ~2 ms of tunnel
+        # latency, so per-scan jnp.float32(...) re-uploads of constants are
+        # a real throughput tax (~15-20 ms/scan at 10 small args).
+        self._d_T_lidar_imu = jnp.asarray(self.T_lidar_imu, jnp.float32)
+        self._d_gravity = jnp.asarray(GRAVITY, jnp.float32)
+        self._d_acc_noise = jnp.float32(p.imu_acc_noise)
+        self._d_gyro_noise = jnp.float32(p.imu_gyro_noise)
+        self._d_int_noise = jnp.float32(p.imu_int_noise)
+        # Bias random-walk stiffness: 1/sqrt(sigma) rather than the
+        # density-exact 1/sigma^2 — the window absorbs initialization
+        # error instead of freezing it (validated in the window study).
+        self._d_bias_rw_info = jnp.full(
+            6, 1.0 / max(np.sqrt(p.imu_bias_noise), 1e-6), jnp.float32)
+        self._d_matching_weight = jnp.float32(p.matching_weight)
+        self._d_max_corr_dist = jnp.float32(self._max_corr_dist)
+
         self.imu_buffer: List[np.ndarray] = []   # rows [t, ax..az, wx..wz]
         self._init_odom = None
         self._init_poses: List = []
@@ -267,29 +284,23 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         # must run BEFORE this scan's dispatch so the map includes it.
         self._process_status()
 
-        imu_args = self._imu_window(self.last_frame_stamp, frame.stamp,
-                                    frame.scan_end_time)
-
         # Host-side eviction decision (mirrors the device ring exactly).
         evict = len(self._est_frames) >= 2 and (
             len(self._est_frames) == self.W
             or self._est_frames[0].stamp < frame.stamp - p.smoother_lag)
 
+        imu_packed = self._imu_packed(self.last_frame_stamp, frame.stamp,
+                                      frame.scan_end_time,
+                                      frame.stamp - self._t0, evict)
+
         self.window, out = window_scan_step(
             self.window, self.model,
             frame.device_points, frame.device_times, frame.device_mask,
-            frame.device_neighbors, *imu_args,
-            jnp.float32(frame.stamp - self._t0),
-            jnp.asarray(self.T_lidar_imu, jnp.float32),
-            jnp.asarray(GRAVITY, jnp.float32),
-            jnp.float32(p.imu_acc_noise), jnp.float32(p.imu_gyro_noise),
-            jnp.float32(p.imu_int_noise),
-            # Bias random-walk stiffness: 1/sqrt(sigma) rather than the
-            # density-exact 1/sigma^2 — the window absorbs initialization
-            # error instead of freezing it (validated in the window study).
-            jnp.full(6, 1.0 / max(np.sqrt(p.imu_bias_noise), 1e-6), jnp.float32),
-            jnp.float32(p.matching_weight), jnp.asarray(evict),
-            self._last_kf_pose_dev(), jnp.float32(self._max_corr_dist),
+            frame.device_neighbors, imu_packed,
+            self._d_T_lidar_imu, self._d_gravity,
+            self._d_acc_noise, self._d_gyro_noise, self._d_int_noise,
+            self._d_bias_rw_info, self._d_matching_weight,
+            self._last_kf_pose_dev(), self._d_max_corr_dist,
             W=self.W, outer_iters=p.outer_iterations,
             inner_iters=p.inner_iterations,
             compute_covs=self._covs_requested, matching=self._matching)
@@ -404,9 +415,13 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             return
         self._maybe_update_model(prev, s)
 
-    def _imu_window(self, t_prev: float, t_scan: float, t_end: float):
-        """Padded IMU arrays covering (t_prev, t_end], stamps relative to
-        t_scan (device masks split preintegration vs deskew use)."""
+    def _imu_packed(self, t_prev: float, t_scan: float, t_end: float,
+                    scan_stamp_rel: float, evict: bool) -> jnp.ndarray:
+        """ONE packed per-scan upload (cap+1, 8): IMU rows [acc, gyro,
+        stamp_rel, dt] covering (t_prev, t_end] with stamps relative to
+        t_scan, plus a metadata row [n, scan_stamp, evict, 0...] — a single
+        host->device transfer instead of seven (each costs ~2 ms of tunnel
+        latency on remoted chips)."""
         cap = self.params.imu_window_capacity
         rows = [r for r in self.imu_buffer if t_prev < r[0] <= t_end + 0.02]
         self.imu_buffer = [r for r in self.imu_buffer if r[0] > t_prev - 0.2]
@@ -416,21 +431,17 @@ class OdometryEstimationIMU(OdometryEstimationBase):
                            "(raise imu_window_capacity for high-rate IMUs; "
                            "warning shown once)", len(rows), cap)
         n = min(len(rows), cap)
-        acc = np.zeros((cap, 3), np.float32)
-        gyro = np.zeros((cap, 3), np.float32)
-        rel = np.zeros(cap, np.float32)
-        dts = np.zeros(cap, np.float32)
-        mask = np.zeros(cap, bool)
-        prev = t_prev
-        for i in range(n):
-            acc[i] = rows[i][1:4]
-            gyro[i] = rows[i][4:7]
-            rel[i] = rows[i][0] - t_scan
-            dts[i] = max(rows[i][0] - prev, 0.0)
-            prev = rows[i][0]
-            mask[i] = True
-        return (jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(rel),
-                jnp.asarray(dts), jnp.asarray(mask))
+        packed = np.zeros((cap + 1, 8), np.float32)
+        if n:
+            arr = np.stack(rows[:n])                     # (n, 7) [t, acc, gyro]
+            packed[:n, 0:3] = arr[:, 1:4]
+            packed[:n, 3:6] = arr[:, 4:7]
+            packed[:n, 6] = arr[:, 0] - t_scan
+            packed[:n, 7] = np.maximum(np.diff(arr[:, 0], prepend=t_prev), 0.0)
+        packed[cap, 0] = n
+        packed[cap, 1] = scan_stamp_rel
+        packed[cap, 2] = 1.0 if evict else 0.0
+        return jnp.asarray(packed)
 
     def _try_initialize(self, frame: PreprocessedFrame) -> bool:
         """Initialization hand-off (reference:

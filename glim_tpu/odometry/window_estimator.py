@@ -248,12 +248,18 @@ def _build_pair_system(T_c, v_c, b_c, valid, pre_ring, j,
 def window_scan_step(win: WindowState, vms,
                      # raw scan (full resolution, lidar frame, NOT deskewed)
                      scan_pts, scan_times, scan_mask, scan_neighbors,
-                     # padded IMU window covering (t_prev, t_scan_end];
-                     # stamps relative to the scan start (<=0 -> preint)
-                     imu_acc, imu_gyro, imu_stamps_rel, imu_dts, imu_mask,
-                     scan_stamp, T_lidar_imu, gravity,
+                     # ONE packed per-scan upload (cap+1, 8): rows 0..cap-1
+                     # are IMU samples [acc(3), gyro(3), stamp_rel, dt]
+                     # covering (t_prev, t_scan_end] with stamps relative to
+                     # the scan start (<=0 -> preintegration); the LAST row
+                     # is metadata [n_imu, scan_stamp, force_evict, 0...].
+                     # Packing everything that changes per scan into a single
+                     # host->device transfer matters on remoted chips, where
+                     # every transfer costs ~2 ms of tunnel latency.
+                     imu_packed,
+                     T_lidar_imu, gravity,
                      acc_noise, gyro_noise, int_noise, bias_rw_info,
-                     matching_weight, force_evict, T_last_keyframe,
+                     matching_weight, T_last_keyframe,
                      max_corr_dist=jnp.float32(2.0),
                      *, W: int, outer_iters: int = 2, inner_iters: int = 2,
                      compute_covs: bool = False, matching: str = "vgicp"):
@@ -268,6 +274,17 @@ def window_scan_step(win: WindowState, vms,
                         capped at max_corr_dist (reference
                         odometry_estimation_cpu.cpp:98-104)."""
     from glim_tpu.ops import covariance as cov_ops
+
+    # Unpack the per-scan upload (see parameter docs above).
+    imu_cap = imu_packed.shape[0] - 1
+    imu_acc = imu_packed[:imu_cap, 0:3]
+    imu_gyro = imu_packed[:imu_cap, 3:6]
+    imu_stamps_rel = imu_packed[:imu_cap, 6]
+    imu_dts = imu_packed[:imu_cap, 7]
+    meta = imu_packed[imu_cap]
+    imu_mask = jnp.arange(imu_cap) < meta[0].astype(jnp.int32)
+    scan_stamp = meta[1]
+    force_evict = meta[2] > 0.5
 
     if matching == "gicp":
         pm = vms

@@ -28,9 +28,22 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from glim_tpu.ops.pointops import INVALID_HASH, hash_coords, voxel_coords
+from glim_tpu.ops.pointops import (INVALID_HASH, hash_coords, hash_coords2,
+                                   voxel_coords)
 
 _PROBE = 8  # max entries scanned past the binary-search hit (hash collisions)
+
+
+def _sort_by_hash_pair(h1, h2, *payloads):
+    """ONE composite-key sort by the (h1, h2) double hash: equal coordinates
+    share both hashes, so they land adjacent (double-collision probability
+    ~2^-62 per pair) — replaces a 4-key lexsort, i.e. 4 stable sort passes,
+    with a single lax.sort. Returns (h1_sorted, h2_sorted, *payloads_sorted).
+    Payloads are co-sorted via an iota permutation + gathers."""
+    n = h1.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    h1_s, h2_s, order = jax.lax.sort((h1, h2, iota), num_keys=2)
+    return (h1_s, h2_s) + tuple(p[order] for p in payloads)
 
 
 @jax.tree_util.register_dataclass
@@ -74,22 +87,21 @@ def empty_gaussian_voxelmap(capacity: int, resolution) -> GaussianVoxelMap:
     )
 
 
-def _sorted_reduce(hashes, coords, weights, w_mean, w_cov, ages, capacity):
-    """Sort entries by (hash, coords) and segment-reduce weighted Gaussian
-    stats into at most ``capacity`` voxels (LRU-evicting oldest extras).
+def _sorted_reduce(hashes, hashes2, coords, weights, w_mean, w_cov, ages,
+                   capacity):
+    """Sort entries by the (hash, hash2) pair and segment-reduce weighted
+    Gaussian stats into at most ``capacity`` voxels.
 
     w_mean is weight*mean (sum of points); w_cov is weight*cov (sum of covs).
+    The output is ALREADY hash-sorted: segments appear in key order and the
+    unused suffix carries INVALID_HASH (the int32 max), so callers need no
+    re-sort before binary-search lookups.
     """
-    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], hashes))
-    h_s = hashes[order]
-    c_s = coords[order]
-    w_s = weights[order]
-    wm_s = w_mean[order]
-    wc_s = w_cov[order]
-    a_s = ages[order]
+    h_s, h2_s, c_s, w_s, wm_s, wc_s, a_s = _sort_by_hash_pair(
+        hashes, hashes2, coords, weights, w_mean, w_cov, ages)
 
     valid = h_s != INVALID_HASH
-    same = (h_s[1:] == h_s[:-1]) & jnp.all(c_s[1:] == c_s[:-1], axis=-1)
+    same = (h_s[1:] == h_s[:-1]) & (h2_s[1:] == h2_s[:-1])
     starts = jnp.concatenate([valid[:1], ~same]) & valid
     seg_id = jnp.cumsum(starts) - 1
     num_segs = jnp.sum(starts)
@@ -106,12 +118,8 @@ def _sorted_reduce(hashes, coords, weights, w_mean, w_cov, ages, capacity):
 
     slot_valid = jnp.arange(capacity) < num_segs
     seg_hash = jnp.where(slot_valid, seg_hash, INVALID_HASH)
-
-    # Re-sort by hash so lookup's searchsorted stays valid (invalid slots
-    # carry INVALID_HASH and sort to the end).
-    order2 = jnp.lexsort((seg_coords[:, 2], seg_coords[:, 1], seg_coords[:, 0], seg_hash))
-    return (seg_hash[order2], seg_coords[order2], sum_w[order2], sum_wm[order2],
-            sum_wc[order2].reshape(-1, 3, 3), seg_age[order2])
+    return (seg_hash, seg_coords, sum_w, sum_wm,
+            sum_wc.reshape(-1, 3, 3), seg_age)
 
 
 @jax.jit
@@ -126,6 +134,7 @@ def voxelmap_insert(vm: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarray
 
     p_coords = voxel_coords(points, inv_res)
     p_hash = jnp.where(mask, hash_coords(p_coords), INVALID_HASH)
+    p_hash2 = jnp.where(mask, hash_coords2(p_coords), INVALID_HASH)
     p_w = mask.astype(jnp.float32)
     p_wm = jnp.where(mask[:, None], points, 0.0)
     p_wc = jnp.where(mask[:, None, None], covs, 0.0)
@@ -133,18 +142,21 @@ def voxelmap_insert(vm: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarray
 
     e_valid = vm.valid
     e_hash = vm.hash
+    e_hash2 = jnp.where(e_valid, hash_coords2(vm.coords), INVALID_HASH)
     e_w = vm.count
     e_wm = vm.mean * vm.count[:, None]
     e_wc = vm.cov * vm.count[:, None, None]
 
     hashes = jnp.concatenate([e_hash, p_hash])
+    hashes2 = jnp.concatenate([e_hash2, p_hash2])
     coords = jnp.concatenate([vm.coords, p_coords])
     weights = jnp.concatenate([e_w, p_w])
     w_mean = jnp.concatenate([e_wm, p_wm])
     w_cov = jnp.concatenate([e_wc, p_wc])
     ages = jnp.concatenate([jnp.where(e_valid, vm.age, -1), p_age])
 
-    seg = _sorted_reduce(hashes, coords, weights, w_mean, w_cov, ages, V + C)
+    seg = _sorted_reduce(hashes, hashes2, coords, weights, w_mean, w_cov,
+                         ages, V + C)
     s_hash, s_coords, s_w, s_wm, s_wc, s_age = seg
     n_merged = jnp.sum(s_hash != INVALID_HASH)
 
@@ -155,14 +167,15 @@ def voxelmap_insert(vm: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarray
         return (s_hash[:V], s_coords[:V], s_w[:V], s_wm[:V], s_wc[:V], s_age[:V])
 
     def evict(_):
-        # Overflow: keep the V most recently updated voxels, then re-sort by
-        # hash so lookup's binary search stays valid.
+        # Overflow: keep the V most recently updated voxels, then re-sort
+        # (top_k scrambles order) so lookup's binary search stays valid.
+        # keep_idx doubles as the (hash, hash2)-order tiebreak: s_* is
+        # already key-sorted, so sorting kept entries by (hash, index)
+        # restores the exact composite order with a single 2-key sort.
         score = jnp.where(s_hash != INVALID_HASH, s_age, jnp.iinfo(jnp.int32).min)
         _, keep_idx = jax.lax.top_k(score, V)
         k_hash = s_hash[keep_idx]
-        k_coords = s_coords[keep_idx]
-        order = jnp.lexsort((k_coords[:, 2], k_coords[:, 1], k_coords[:, 0], k_hash))
-        keep2 = keep_idx[order]
+        _, keep2 = jax.lax.sort((k_hash, keep_idx.astype(jnp.int32)), num_keys=2)
         return (s_hash[keep2], s_coords[keep2], s_w[keep2], s_wm[keep2],
                 s_wc[keep2], s_age[keep2])
 
@@ -264,12 +277,17 @@ def pointmap_insert(pm: PointVoxelMap, points: jnp.ndarray, mask: jnp.ndarray,
 
     coords = voxel_coords(all_pts, inv)
     h = jnp.where(all_mask, hash_coords(coords), INVALID_HASH)
-    order = jnp.lexsort((prio, coords[:, 2], coords[:, 1], coords[:, 0], h))
-    h_s = h[order]
+    h2 = jnp.where(all_mask, hash_coords2(coords), INVALID_HASH)
+    iota = jnp.arange(h.shape[0], dtype=jnp.int32)
+    # Single 3-key sort replaces the 5-key lexsort: (hash, hash2) groups
+    # equal sub-voxels (double-collision ~2^-62), prio keeps existing points
+    # ahead of new ones within a sub-voxel.
+    h_s, _, _, order = jax.lax.sort((h, h2, prio, iota), num_keys=3)
     c_s = coords[order]
     valid_s = all_mask[order]
 
-    same = (h_s[1:] == h_s[:-1]) & jnp.all(c_s[1:] == c_s[:-1], axis=-1)
+    h2_s = h2[order]
+    same = (h_s[1:] == h_s[:-1]) & (h2_s[1:] == h2_s[:-1])
     first = jnp.concatenate([valid_s[:1], ~same]) & valid_s
 
     # LRU refresh-on-touch: a surviving (existing) point adopts the NEWEST

@@ -83,19 +83,26 @@ class CloudPreprocessorParams:
 @partial(jax.jit, static_argnames=("out_cap", "use_random_grid", "target", "k",
                                    "enable_cropbox", "enable_outlier_removal",
                                    "exact_knn", "knn_window"))
-def _preprocess_device(packed, n_valid, pt_scale, t_scale, rng, *,
+def _preprocess_device(packed, meta, pt_scale, rng, *,
                        out_cap: int, use_random_grid: bool, target: int, k: int,
                        enable_cropbox: bool, enable_outlier_removal: bool,
                        exact_knn: bool, knn_window: int,
                        near, far, resolution, bbox_T, bbox_min, bbox_max,
                        outlier_std_mul):
-    """The fused device pipeline. Returns (points, times, mask, neighbors).
+    """The fused device pipeline. Returns (points, times, mask, neighbors,
+    next_rng).
 
     ``packed`` is the quantized upload: (C, 4) int16 [x, y, z, t] with
     points at pt_scale meters/LSB and times at t_scale seconds/LSB — 8 bytes
-    per point over the host->device link instead of 20.
+    per point over the host->device link instead of 20. ``meta`` is the only
+    other per-scan transfer: (2,) f32 [n_valid, t_scale]. The RNG key stays
+    device-resident (split in here, new key returned) so per-scan dispatch
+    costs one upload + one small upload + one program on remoted chips.
     """
     C = packed.shape[0]
+    n_valid = meta[0].astype(jnp.int32)
+    t_scale = meta[1]
+    rng, rng_next = jax.random.split(rng)
     points = packed[:, :3].astype(jnp.float32) * pt_scale
     times = packed[:, 3].astype(jnp.float32) * t_scale
     mask = jnp.arange(C) < n_valid
@@ -133,7 +140,7 @@ def _preprocess_device(packed, n_valid, pt_scale, t_scale, rng, *,
     if enable_outlier_removal:
         mask_d = covariance.outlier_mask(sq_dists, mask_d, outlier_std_mul)
 
-    return pts_d, times_d, mask_d, neighbors
+    return pts_d, times_d, mask_d, neighbors, rng_next
 
 
 class CloudPreprocessor:
@@ -145,6 +152,27 @@ class CloudPreprocessor:
         self._rng = jax.random.PRNGKey(seed)
         tgt = self.params.random_downsample_target
         self.out_capacity = capacity_for(max(tgt, 512))
+        # Constant device args, uploaded once (every host->device transfer
+        # costs ~2 ms of tunnel latency on remoted chips).
+        p = self.params
+        bbox_T = np.eye(4, dtype=np.float32)
+        if p.enable_cropbox_filter and p.crop_bbox_frame == "imu" \
+                and p.T_imu_lidar is not None:
+            bbox_T = p.T_imu_lidar.astype(np.float32)
+        self._d_const = dict(
+            pt_scale=jnp.float32(p.quantize_resolution),
+            near=jnp.float32(p.distance_near_thresh),
+            far=jnp.float32(p.distance_far_thresh),
+            resolution=jnp.float32(p.downsample_resolution),
+            bbox_T=jnp.asarray(bbox_T),
+            bbox_min=jnp.asarray(np.asarray(p.crop_bbox_min, np.float32)
+                                 if p.crop_bbox_min is not None
+                                 else np.full(3, -1.0, np.float32)),
+            bbox_max=jnp.asarray(np.asarray(p.crop_bbox_max, np.float32)
+                                 if p.crop_bbox_max is not None
+                                 else np.full(3, 1.0, np.float32)),
+            outlier_std_mul=jnp.float32(p.outlier_std_mul_factor),
+        )
 
     def preprocess(self, raw: RawPoints) -> PreprocessedFrame:
         """Fully asynchronous: one packed host->device upload, one fused jit
@@ -168,14 +196,10 @@ class CloudPreprocessor:
                                   raw.times if scan_duration > 0.0 else None,
                                   cap, pt_scale, t_scale)
 
-        self._rng, sub = jax.random.split(self._rng)
-        bbox_T = np.eye(4, dtype=np.float32)
-        if p.enable_cropbox_filter and p.crop_bbox_frame == "imu" and p.T_imu_lidar is not None:
-            bbox_T = p.T_imu_lidar.astype(np.float32)
-
         dev = jax.device_put(packed)
-        pts_d, times_d, mask_d, neighbors = _preprocess_device(
-            dev, jnp.int32(n), jnp.float32(pt_scale), jnp.float32(t_scale), sub,
+        meta = jnp.asarray(np.array([n, t_scale], np.float32))
+        pts_d, times_d, mask_d, neighbors, self._rng = _preprocess_device(
+            dev, meta, self._d_const["pt_scale"], self._rng,
             out_cap=self.out_capacity,
             use_random_grid=p.use_random_grid_downsampling,
             target=p.random_downsample_target,
@@ -184,13 +208,13 @@ class CloudPreprocessor:
             enable_outlier_removal=p.enable_outlier_removal,
             exact_knn=p.exact_knn,
             knn_window=p.knn_window,
-            near=jnp.float32(p.distance_near_thresh),
-            far=jnp.float32(p.distance_far_thresh),
-            resolution=jnp.float32(p.downsample_resolution),
-            bbox_T=jnp.asarray(bbox_T),
-            bbox_min=jnp.asarray(np.asarray(p.crop_bbox_min, np.float32)),
-            bbox_max=jnp.asarray(np.asarray(p.crop_bbox_max, np.float32)),
-            outlier_std_mul=jnp.float32(p.outlier_std_mul_factor),
+            near=self._d_const["near"],
+            far=self._d_const["far"],
+            resolution=self._d_const["resolution"],
+            bbox_T=self._d_const["bbox_T"],
+            bbox_min=self._d_const["bbox_min"],
+            bbox_max=self._d_const["bbox_max"],
+            outlier_std_mul=self._d_const["outlier_std_mul"],
         )
 
         frame = PreprocessedFrame(

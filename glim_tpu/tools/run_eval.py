@@ -151,7 +151,7 @@ def main(argv=None):
             duration=duration, n_channels=args.channels,
             n_azimuth=args.azimuth, imu_noise=args.imu_noise,
             imu_bias=np.array([0.03, -0.02, 0.01, 0.002, -0.001, 0.001]),
-            seed=hash(name) % 1000, **kw)
+            seed=sum(ord(c) for c in name) % 1000, **kw)
         print(f"[eval] running {name}...", flush=True)
         m, gmet, sps, extra = run_sequence(seq)
         rows.append((name, m, gmet, sps, extra))
