@@ -40,6 +40,8 @@ class AsyncGlobalMapping:
 
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
+        from glim_tpu.utils import lifecycle
+        lifecycle.register(self)
 
     def insert_imu(self, stamp: float, linear_acc: np.ndarray, angular_vel: np.ndarray) -> None:
         self.input_imu_queue.push_back((stamp, np.asarray(linear_acc), np.asarray(angular_vel)))
@@ -54,6 +56,15 @@ class AsyncGlobalMapping:
         self._end_of_sequence.set()
         self.input_submap_queue.submit_end_of_data()
         self.thread.join()
+
+    def stop(self, timeout: float = 5.0) -> None:
+        """Non-draining shutdown (lifecycle cleanup)."""
+        self._end_of_sequence.set()
+        self.input_submap_queue.submit_end_of_data()
+        self.thread.join(timeout=timeout)
+        stop_inner = getattr(self.global_mapping, "stop", None)
+        if stop_inner is not None:
+            stop_inner()
 
     def workload(self) -> int:
         return self.input_submap_queue.size()

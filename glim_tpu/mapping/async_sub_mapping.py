@@ -21,6 +21,8 @@ class AsyncSubMapping:
         self._end_of_sequence = threading.Event()
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
+        from glim_tpu.utils import lifecycle
+        lifecycle.register(self)
 
     def insert_imu(self, stamp: float, linear_acc: np.ndarray, angular_vel: np.ndarray) -> None:
         self.input_imu_queue.push_back((stamp, np.asarray(linear_acc), np.asarray(angular_vel)))
@@ -35,6 +37,12 @@ class AsyncSubMapping:
         self._end_of_sequence.set()
         self.input_frame_queue.submit_end_of_data()
         self.thread.join()
+
+    def stop(self, timeout: float = 5.0) -> None:
+        """Non-draining shutdown (lifecycle cleanup)."""
+        self._end_of_sequence.set()
+        self.input_frame_queue.submit_end_of_data()
+        self.thread.join(timeout=timeout)
 
     def workload(self) -> int:
         return self.input_frame_queue.size()

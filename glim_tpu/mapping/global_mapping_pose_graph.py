@@ -177,6 +177,8 @@ class LoopDetector:
         # Daemon threads blocked in device dispatch at interpreter exit can
         # abort the process; stop cleanly instead.
         atexit.register(self.stop)
+        from glim_tpu.utils import lifecycle
+        lifecycle.register(self)
 
     def push(self, cands) -> None:
         if cands:

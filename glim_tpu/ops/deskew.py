@@ -53,7 +53,9 @@ def deskew_imu(points: jnp.ndarray, times: jnp.ndarray, mask: jnp.ndarray,
     """
     K = imu_stamps.shape[0]
     t = times
-    idx = jnp.clip(jnp.searchsorted(imu_stamps, t), 1, K - 1)
+    # method="sort": one co-sort beats the default while-loop binary search
+    # on TPU (see ops/voxelmap.py lookup note).
+    idx = jnp.clip(jnp.searchsorted(imu_stamps, t, method="sort"), 1, K - 1)
     t0 = imu_stamps[idx - 1]
     t1 = imu_stamps[idx]
     a = jnp.clip((t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)

@@ -103,21 +103,35 @@ def _sorted_reduce(hashes, hashes2, coords, weights, w_mean, w_cov, ages,
     valid = h_s != INVALID_HASH
     same = (h_s[1:] == h_s[:-1]) & (h2_s[1:] == h2_s[:-1])
     starts = jnp.concatenate([valid[:1], ~same]) & valid
-    seg_id = jnp.cumsum(starts) - 1
+    seg_id = jnp.cumsum(starts) - 1                 # non-decreasing
     num_segs = jnp.sum(starts)
     seg_id = jnp.where(valid, seg_id, capacity)  # invalid -> dropped bucket
 
+    # TWO fused segment reductions (one f32 sum over a 13-wide payload, one
+    # int32 max over a 5-wide payload) instead of six separate segment ops —
+    # scatter-based segment reductions are the insert's hot spot on TPU, so
+    # fewer scatter fusions is a direct win. (A scatter-free variant with
+    # searchsorted + associative scans measured ~2.6x SLOWER on the chip:
+    # searchsorted lowers to a 17-iteration while loop.)
     n_out = capacity + 1
-    sum_w = jax.ops.segment_sum(w_s, seg_id, num_segments=n_out)[:capacity]
-    sum_wm = jax.ops.segment_sum(wm_s, seg_id, num_segments=n_out)[:capacity]
-    sum_wc = jax.ops.segment_sum(wc_s.reshape(-1, 9), seg_id, num_segments=n_out)[:capacity]
-    seg_age = jax.ops.segment_max(jnp.where(valid, a_s, -1), seg_id, num_segments=n_out)[:capacity]
-    seg_hash = jax.ops.segment_max(jnp.where(valid, h_s, -1), seg_id, num_segments=n_out)[:capacity]
-    seg_coords = jax.ops.segment_max(jnp.where(valid[:, None], c_s, jnp.iinfo(jnp.int32).min),
-                                     seg_id, num_segments=n_out)[:capacity]
+    payload = jnp.concatenate([w_s[:, None], wm_s, wc_s.reshape(-1, 9)], axis=1)
+    seg_sum = jax.ops.segment_sum(payload, seg_id, num_segments=n_out)[:capacity]
+    sum_w = seg_sum[:, 0]
+    sum_wm = seg_sum[:, 1:4]
+    sum_wc = seg_sum[:, 4:13]
+
+    imax = jnp.iinfo(jnp.int32).min
+    ipayload = jnp.where(valid[:, None],
+                         jnp.concatenate([h_s[:, None], c_s, a_s[:, None]],
+                                         axis=1), imax)
+    seg_imax = jax.ops.segment_max(ipayload, seg_id, num_segments=n_out)[:capacity]
+    seg_hash = seg_imax[:, 0]
+    seg_coords = seg_imax[:, 1:4]
+    seg_age = seg_imax[:, 4]
 
     slot_valid = jnp.arange(capacity) < num_segs
     seg_hash = jnp.where(slot_valid, seg_hash, INVALID_HASH)
+    seg_age = jnp.where(slot_valid, seg_age, -1)
     return (seg_hash, seg_coords, sum_w, sum_wm,
             sum_wc.reshape(-1, 3, 3), seg_age)
 
@@ -200,7 +214,11 @@ def voxelmap_lookup(vm: GaussianVoxelMap, points: jnp.ndarray) -> jnp.ndarray:
     inv_res = 1.0 / vm.resolution
     q_coords = voxel_coords(points, inv_res)
     q_hash = hash_coords(q_coords)
-    base = jnp.searchsorted(vm.hash, q_hash)
+    # method="sort" turns the binary search into one co-sort of
+    # (table, queries) — on TPU the 17-iteration while loop of the default
+    # method costs ~2 ms per 16k-query lookup while sorts of the same size
+    # run in ~0.2 ms (profiler-traced).
+    base = jnp.searchsorted(vm.hash, q_hash, method="sort")
 
     found = jnp.full(q_hash.shape, -1, jnp.int32)
     V = vm.capacity
@@ -293,8 +311,7 @@ def pointmap_insert(pm: PointVoxelMap, points: jnp.ndarray, mask: jnp.ndarray,
     # LRU refresh-on-touch: a surviving (existing) point adopts the NEWEST
     # age in its sub-voxel, so re-observed structure is not evicted while
     # the sensor is looking at it (iVox touch semantics).
-    starts = first
-    seg_id = jnp.cumsum(starts) - 1
+    seg_id = jnp.cumsum(first) - 1
     n_seg = M + points.shape[0] + 1
     age_s_raw = all_age[order]
     seg_max_age = jax.ops.segment_max(

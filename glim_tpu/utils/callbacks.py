@@ -18,11 +18,24 @@ from typing import Any, Callable, Dict
 class CallbackSlot:
     """Thread-safe multicast callback registry."""
 
+    _ALL: list = []   # every slot ever declared (slots are static members)
+
     def __init__(self, name: str = ""):
         self.name = name
         self._lock = threading.Lock()
         self._next_id = 0
         self._callbacks: Dict[int, Callable] = {}
+        CallbackSlot._ALL.append(self)
+
+    @staticmethod
+    def clear_all() -> None:
+        """Deregister every observer from every slot. Slots are static class
+        members shared process-wide, so long-lived processes that build many
+        pipelines (and the test suite) use this to drop stale observers —
+        otherwise each dead pipeline's callbacks keep firing and keep the
+        dead objects alive."""
+        for slot in CallbackSlot._ALL:
+            slot.clear()
 
     def add(self, fn: Callable) -> int:
         with self._lock:

@@ -25,3 +25,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True)
+def _glim_lifecycle_cleanup():
+    """Stop leaked worker threads and drop stale callback observers after
+    every test. Callback slots are process-wide static members and the async
+    wrappers own polling threads; 200+ tests in one process accumulate both
+    (observed: late-suite flaky failures and interpreter-teardown aborts)."""
+    yield
+    from glim_tpu.utils import lifecycle
+    from glim_tpu.utils.callbacks import CallbackSlot
+    lifecycle.stop_all()
+    CallbackSlot.clear_all()

@@ -159,3 +159,59 @@ class TestPreintegration:
             jnp.asarray(dts, jnp.float32), jnp.ones(150, dtype=bool))
         np.testing.assert_allclose(np.asarray(pj)[-1], ps[-1], atol=2e-3)
         np.testing.assert_allclose(np.asarray(Rj)[-1], Rs[-1], atol=1e-4)
+
+
+class TestAssociativeAgreement:
+    """The log-depth associative forms must match the sequential scans."""
+
+    def test_preintegrate_matches_sequential(self):
+        rng = np.random.default_rng(3)
+        n = 100
+        acc = rng.normal(0, 2.0, (n, 3)).astype(np.float32) + [0, 0, 9.8]
+        gyro = rng.normal(0, 0.8, (n, 3)).astype(np.float32)
+        dts = np.full(n, 0.005, np.float32)
+        mask = np.ones(n, bool)
+        mask[70:] = False          # padded tail must not contribute
+        bias = np.array([0.05, -0.02, 0.01, 0.004, -0.002, 0.001], np.float32)
+        args = (jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts),
+                jnp.asarray(mask), jnp.asarray(bias),
+                jnp.float32(0.05), jnp.float32(0.02), jnp.float32(1e-3))
+        a = imu_ops.preintegrate(*args)
+        b = imu_ops.preintegrate_sequential(*args)
+        for f in ("dR", "dv", "dp", "dt", "H_Rg", "H_va", "H_vg",
+                  "H_pa", "H_pg"):
+            np.testing.assert_allclose(np.asarray(getattr(a, f)),
+                                       np.asarray(getattr(b, f)),
+                                       atol=2e-4, err_msg=f)
+        np.testing.assert_allclose(np.asarray(a.cov), np.asarray(b.cov),
+                                   atol=2e-4 * max(1.0, float(np.abs(b.cov).max())))
+
+    def test_integrate_poses_matches_euler(self):
+        rng = np.random.default_rng(5)
+        n = 64
+        acc = rng.normal(0, 1.5, (n, 3)).astype(np.float32) + [0, 0, 9.8]
+        gyro = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+        dts = np.full(n, 0.01, np.float32)
+        mask = np.ones(n, bool)
+        mask[50:] = False
+        bias = np.zeros(6, np.float32)
+        g = np.array([0, 0, -9.8], np.float32)
+        R0 = lie_np.so3_exp(np.array([0.1, -0.2, 0.3]))
+        p0 = np.array([1.0, 2.0, 3.0])
+        v0 = np.array([0.5, -0.5, 0.1])
+        Rs, ps, vs = imu_ops.integrate_poses(
+            jnp.asarray(R0, jnp.float32), jnp.asarray(p0, jnp.float32),
+            jnp.asarray(v0, jnp.float32), jnp.asarray(bias),
+            jnp.asarray(g), jnp.asarray(acc), jnp.asarray(gyro),
+            jnp.asarray(dts), jnp.asarray(mask))
+        # sequential numpy euler reference
+        R, p, v = R0.copy(), p0.copy(), v0.copy()
+        for k in range(n):
+            dt = dts[k] if mask[k] else 0.0
+            a_w = R @ acc[k] + g
+            p = p + v * dt + 0.5 * a_w * dt * dt
+            v = v + a_w * dt
+            R = R @ lie_np.so3_exp(gyro[k] * dt)
+            np.testing.assert_allclose(np.asarray(Rs[k]), R, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(ps[k]), p, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(vs[k]), v, atol=1e-4)
