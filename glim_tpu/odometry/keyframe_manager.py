@@ -78,7 +78,7 @@ def empty_keyframe_store(K: int, C: int, mini_capacity: int,
         vm=mini)
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def kf_write(store: KeyframeStore, slot, pts_l, covs_l, mask, T_wl, T_wi,
              order_id) -> KeyframeStore:
     """Write one keyframe into ``slot``: transform the lidar-frame scan to

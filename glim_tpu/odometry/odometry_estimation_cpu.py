@@ -130,7 +130,8 @@ def _finish_step(state, T_new, dt, deskewed, covs, mask, *,
 
 
 @partial(jax.jit, static_argnames=("iters", "ema", "bootstrap_frames",
-                                   "update_budget", "enable_deskew"))
+                                   "update_budget", "enable_deskew"),
+         donate_argnums=(0,))
 def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
                      *, iters: int, ema: float, bootstrap_frames: int,
                      update_budget: int, enable_deskew: bool):
@@ -164,7 +165,8 @@ def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
 
 
 @partial(jax.jit, static_argnames=("iters", "ema", "bootstrap_frames",
-                                   "update_budget", "enable_deskew"))
+                                   "update_budget", "enable_deskew"),
+         donate_argnums=(0,))
 def _gicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
                     max_dist, *, iters: int, ema: float,
                     bootstrap_frames: int, update_budget: int,

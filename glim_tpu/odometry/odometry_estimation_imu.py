@@ -509,7 +509,12 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             m_valid=win.m_valid,
             H_prior=jnp.eye(15) * p.init_pose_damping_scale,
             b_prior=jnp.zeros(15),
-            T_anchor=T0_d,
+            # Uniquely-owned copy: window_scan_step donates the window, and
+            # T0_d is also handed to the keyframe manager (whose
+            # last_kf_T_wi becomes the step's T_last_keyframe argument) —
+            # sharing one buffer between a donated and a regular argument
+            # of the same Execute() is invalid.
+            T_anchor=jnp.array(T0_d),
             v_anchor=jnp.asarray(v0, jnp.float32),
             b_anchor=jnp.asarray(b0, jnp.float32),
             H_marg=jnp.zeros((30, 30)), b_marg=jnp.zeros(30),

@@ -244,7 +244,8 @@ def _build_pair_system(T_c, v_c, b_c, valid, pre_ring, j,
 
 
 @partial(jax.jit, static_argnames=("W", "outer_iters", "inner_iters",
-                                   "compute_covs", "matching"))
+                                   "compute_covs", "matching"),
+         donate_argnums=(0,))
 def window_scan_step(win: WindowState, vms,
                      # raw scan (full resolution, lidar frame, NOT deskewed)
                      scan_pts, scan_times, scan_mask, scan_neighbors,
@@ -432,14 +433,34 @@ def window_scan_step(win: WindowState, vms,
                & (pre_r.dt > 1e-6)).astype(jnp.float32)   # (W-1,)
     walk_info = bias_rw_info[None, :] / jnp.maximum(pre_r.dt, 1e-3)[:, None]
 
+    # Linearize the prior and the IMU factors ONCE per scan, at the entry
+    # estimates; the GN iterations evaluate the resulting quadratic model
+    # with a first-order-corrected gradient (g0 + H*delta) — exactly the
+    # linearization iSAM2 keeps for factors below the relinearization
+    # threshold. Within one scan the iterate moves millimetres, so the
+    # frozen Jacobians are indistinguishable from per-iteration jacfwd at a
+    # quarter of its cost; the marginalization system (5c) and the next
+    # scan's step still relinearize at the updated estimate.
+    Hp0, bp0, ep0 = _prior_system(T_r[prior_idx], v_r[prior_idx],
+                                  b_r[prior_idx], T_anchor_n, v_anchor_n,
+                                  b_anchor_n, H_prior_n, b_prior_n)
+    Hk0, bk0, ek0 = jax.vmap(_imu_factor_system, in_axes=(0, 0, 0, 0, 0, 0, None))(
+        T_r[:-1], v_r[:-1], T_r[1:], v_r[1:], b_r[:-1], pre_r, gravity)
+
+    def state_deltas(T, v, b):
+        xi_T = jax.vmap(lambda a, c: lie.se3_log(lie.se3_inv(a) @ c))(T_r, T)
+        return jnp.concatenate([xi_T, v - v_r, b - b_r], axis=1)   # (W, 15)
+
     def linearize(T, v, b, corr_new):
         H = jnp.zeros((D, D))
         g = jnp.zeros(D)
+        delta = state_deltas(T, v, b)
 
-        # Prior on the oldest valid state.
-        Hp, bp, ep = _prior_system(T[prior_idx], v[prior_idx], b[prior_idx],
-                                   T_anchor_n, v_anchor_n, b_anchor_n,
-                                   H_prior_n, b_prior_n)
+        # Prior on the oldest valid state (frozen quadratic model).
+        d0 = delta[prior_idx]
+        Hp = Hp0
+        bp = bp0 + Hp0 @ d0
+        ep = ep0 + 2.0 * (bp0 @ d0) + d0 @ Hp0 @ d0
         s0 = prior_idx * STATE_DIM
         H = jax.lax.dynamic_update_slice(
             H, jax.lax.dynamic_slice(H, (s0, s0), (15, 15)) + Hp, (s0, s0))
@@ -447,9 +468,12 @@ def window_scan_step(win: WindowState, vms,
             g, jax.lax.dynamic_slice(g, (s0,), (15,)) + bp, (s0,))
         err = ep
 
-        # IMU factors k -> k+1, vmapped then scatter-added.
-        Hk, bk, ek = jax.vmap(_imu_factor_system, in_axes=(0, 0, 0, 0, 0, 0, None))(
-            T[:-1], v[:-1], T[1:], v[1:], b[:-1], pre_r, gravity)
+        # IMU factors k -> k+1 (frozen quadratic models), scatter-added.
+        dpair = jnp.concatenate([delta[:-1], delta[1:]], axis=1)   # (W-1, 30)
+        Hk = Hk0
+        bk = bk0 + jnp.einsum("kij,kj->ki", Hk0, dpair)
+        ek = (ek0 + 2.0 * jnp.einsum("ki,ki->k", bk0, dpair)
+              + jnp.einsum("ki,kij,kj->k", dpair, Hk0, dpair))
         H = H.at[rows30[:, :, None], rows30[:, None, :]].add(
             pair_ok[:, None, None] * Hk)
         g = g.at[rows30].add(pair_ok[:, None] * bk)

@@ -24,6 +24,7 @@ odometry_estimation_gpu.cpp:89-93) do not trigger recompilation.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
