@@ -130,6 +130,14 @@ def _between_info_gicp(T_last, T_cur, last_pts, last_covs, last_mask,
 
 
 @jax.jit
+def _keyframe_gate(vm, points, mask, T_rel):
+    """[n_valid_points, overlap-vs-last-keyframe] as ONE device scalar pair
+    (one dispatch + one fetch instead of two blocking fetches)."""
+    ov = vmx.voxelmap_overlap(vm, points, mask, T_rel)
+    return jnp.stack([jnp.sum(mask).astype(jnp.float32), ov])
+
+
+@jax.jit
 def _smooth_chain(T_start, v_start, bias, acc, gyro, dts, mask, stamps_rel,
                   span, T_end, T_lidar_imu):
     """Integrate IMU poses across one inter-frame interval and anchor both
@@ -331,21 +339,25 @@ class SubMapping(SubMappingBase):
             return True
         if frame.frame is None or frame.frame.points is None:
             return False
-        n_pts = int(np.asarray(jnp.sum(frame.frame.mask)))
-        if n_pts <= p.keyframe_update_min_points:
-            return False
         last = self.keyframes[-1]
         if p.keyframe_update_strategy.upper() == "DISPLACEMENT":
+            if int(np.asarray(jnp.sum(frame.frame.mask))) \
+                    <= p.keyframe_update_min_points:
+                return False
             delta = lie_np.se3_log(np.linalg.inv(last["T"]) @ frame.T_world_sensor())
             return (np.linalg.norm(delta[3:]) > p.keyframe_update_interval_trans
                     or np.linalg.norm(delta[:3]) > p.keyframe_update_interval_rot)
         # OVERLAP vs the LAST keyframe's coarsest voxelmap (reference
         # sub_mapping.cpp:249-255 uses keyframes.back()->voxelmaps.back()).
+        # One fused dispatch + ONE blocking fetch for both gate scalars
+        # (separate n_pts / overlap fetches each pay the tunnel roundtrip).
         T = jnp.asarray(frame.T_world_sensor(), jnp.float32)
         T_rel = jnp.asarray(np.linalg.inv(last["T"]), jnp.float32) @ T
-        ov = float(vmx.voxelmap_overlap(last["vms"][-1], frame.frame.points,
-                                        frame.frame.mask, T_rel))
-        return ov < p.max_keyframe_overlap
+        gate = np.asarray(_keyframe_gate(last["vms"][-1], frame.frame.points,
+                                         frame.frame.mask, T_rel))
+        if int(gate[0]) <= p.keyframe_update_min_points:
+            return False
+        return float(gate[1]) < p.max_keyframe_overlap
 
     def _insert_keyframe(self, current: int, frame: EstimationFrame) -> None:
         """Re-deskew with the smoothed IMU-rate poses, re-estimate

@@ -187,6 +187,12 @@ def main(argv=None):
                 f"IMU noise {args.imu_noise} + bias). The identical "
                 "pipeline+evaluator runs on real data via "
                 "`tools/bag_converter` / KITTI loader + `tools/evaluate`.\n\n")
+        f.write("The scans/s column is the fully SYNCHRONOUS single-thread "
+                "worst case (every stage's device fetch latency serializes "
+                "on the remoted chip's tunnel, with large run-to-run "
+                "variance); the production pipeline runs the stages on "
+                "worker threads — see bench.py's odometry and e2e_async "
+                "numbers for deployment throughput.\n\n")
         f.write("| sequence | ATE RMSE [m] | rot RMSE [deg] | RPE@10m [m] | "
                 "global ATE [m] | scans/s | submaps |\n|---|---|---|---|---|---|---|\n")
         for name, m, gmet, sps, extra in rows:

@@ -270,6 +270,25 @@ class EstimationFrame:
     def v_world_imu(self, v) -> None:
         self._v_world_imu = np.asarray(v, np.float64)
 
+    def prefetch(self) -> None:
+        """Start asynchronous device->host copies of the device-backed pose/
+        velocity/bias fields so later lazy property reads find the copy
+        already landed.
+
+        CAUTION (measured on the remoted axon chip): requesting an async
+        copy of a NOT-yet-computed array behaves like a queue flush there —
+        calling this right after dispatch in a deep pipeline COSTS ~0.5 s
+        per frame rather than saving the fetch roundtrip. Only call it when
+        the producing program has likely finished (e.g. from a consumer
+        thread one item behind)."""
+        for a in (self.device_T_world_lidar, self.device_v_world_imu,
+                  self.device_imu_bias):
+            if a is not None:
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+
     def T_world_sensor(self) -> np.ndarray:
         if self.frame_id == FrameID.LIDAR:
             return self.T_world_lidar
