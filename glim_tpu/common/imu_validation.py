@@ -93,3 +93,77 @@ class IMUValidation:
             logger.warning("IMU translation prediction underperforms (%.2f < 0.4)", t)
         if v < 0.5:
             logger.warning("IMU velocity prediction underperforms (%.2f < 0.5)", v)
+
+
+class IMUValidatorExtension:
+    """``libimu_validator.so`` equivalent: a standalone extension that checks
+    IMU calibration health from the odometry callback stream alone
+    (reference: config/config_ros.json extension_modules "libimu_validator.so").
+
+    Buffers IMU samples, dead-reckons from each optimized frame state to the
+    next frame's stamp, and feeds :class:`IMUValidation` with the prediction
+    vs the optimized result — catching wrong extrinsics / time offsets / acc
+    scale on live streams without touching the estimator internals.
+    """
+
+    def __init__(self):
+        from glim_tpu.common.imu_integration import IMUIntegration
+        from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks
+
+        self.validation = IMUValidation()
+        self.integration = IMUIntegration()
+        self._last = None  # (stamp, T_world_imu, v_world_imu, bias)
+        O = OdometryEstimationCallbacks
+        self._handles = [
+            (O.on_insert_imu, O.on_insert_imu.add(self._on_imu)),
+            (O.on_new_frame, O.on_new_frame.add(self._on_frame)),
+        ]
+
+    # ExtensionModule surface (duck-typed; avoids a hard base-class import
+    # at registry-scan time).
+    def ok(self) -> bool:
+        return True
+
+    def needs_wait(self) -> bool:
+        return False
+
+    def at_exit(self, dump_path: str) -> None:
+        self.validation.report()
+        for slot, h in self._handles:
+            slot.remove(h)
+        self._handles = []
+
+    def _on_imu(self, stamp, acc, gyro) -> None:
+        self.integration.insert_imu(stamp, acc, gyro)
+
+    def _on_frame(self, frame) -> None:
+        T = np.asarray(frame.T_world_imu, np.float64)
+        v = np.asarray(frame.v_world_imu, np.float64)
+        if self._last is not None:
+            t0, T0, v0, bias = self._last
+            dt = frame.stamp - t0
+            pred = self.integration.integrate_imu_rate_poses(
+                T0, v0, bias, t0, frame.stamp)
+            if pred is not None and dt > 1e-6:
+                stamps, Rs, ps = pred
+                T_pred = np.eye(4)
+                T_pred[:3, :3] = np.asarray(Rs[-1], np.float64)
+                T_pred[:3, 3] = np.asarray(ps[-1], np.float64)
+                dts = float(stamps[-1] - stamps[-2]) if len(stamps) > 1 else dt
+                v_pred = ((np.asarray(ps[-1], np.float64)
+                           - np.asarray(ps[-2], np.float64)) / max(dts, 1e-6)
+                          if len(stamps) > 1 else v0)
+                self.validation.validate(T_pred, v_pred, T, v, dt)
+            self.integration.erase_imu_data(t0 - 1.0)
+        self._last = (frame.stamp, T, v, np.asarray(frame.imu_bias, np.float64))
+
+
+def _register():
+    from glim_tpu.utils.registry import register_module
+
+    @register_module("extension", "imu_validator")
+    def create_extension_module(*args, **kwargs):
+        return IMUValidatorExtension()
+
+
+_register()

@@ -38,11 +38,17 @@ class GlimTPU:
 
     def __init__(self, config_path: Optional[str] = None,
                  async_mode: bool = True,
-                 extension_modules: Optional[List[str]] = None):
+                 extension_modules: Optional[List[str]] = None,
+                 overrides: Optional[List[tuple]] = None):
+        """``overrides`` is a list of (logical_config, module, name, value)
+        applied after loading and before module construction — the driver
+        layer uses it for ROS-level flags (enable_local/global_mapping)."""
         if config_path is None:
             config_path = create_default_config_dir("/tmp/glim_tpu_config")
         GlobalConfig.reset()
         self.config = GlobalConfig.instance(config_path)
+        for logical, module, name, value in (overrides or []):
+            self.config.get_config(logical).override_param(module, name, value)
 
         log_cfg = self.config.get_config("config_logging")
         configure_logging(log_dir=log_cfg.param("logging", "log_dir", None),
@@ -87,6 +93,19 @@ class GlimTPU:
         self._sync_estimates: List[EstimationFrame] = []
         self.extensions = ExtensionModule.load_extensions(extension_modules or [])
 
+        # Keep the pipeline's odom->world anchor in sync with globally
+        # corrected submap poses (reference: trajectory_manager.cpp anchor
+        # update driven by the global-mapping update callback).
+        from glim_tpu.mapping.callbacks import GlobalMappingCallbacks
+        GlobalMappingCallbacks.on_update_submaps.add(self._on_update_submaps_anchor)
+
+    def _on_update_submaps_anchor(self, submaps) -> None:
+        if submaps and submaps[-1].frames:
+            last = submaps[-1]
+            self.trajectory.update_anchor(
+                last.frames[-1].stamp,
+                last.T_world_origin @ last.T_origin_endpoint_R)
+
     # -- input --
 
     def insert_imu(self, stamp: float, linear_acc, angular_vel) -> None:
@@ -119,6 +138,13 @@ class GlimTPU:
                 self.sub_mapping.insert_frame(m)
             for sm in self.sub_mapping.get_submaps():
                 self.global_mapping.insert_submap(sm)
+
+    def insert_image(self, stamp: float, image) -> None:
+        """Forward camera frames to every stage (reference: glim_ros feeds
+        image_topic into odometry/sub/global insert_image)."""
+        self.odometry.insert_image(stamp, image)
+        self.sub_mapping.insert_image(stamp, image)
+        self.global_mapping.insert_image(stamp, image)
 
     def _pump(self) -> None:
         est, margs = self.odometry.get_results()

@@ -67,7 +67,9 @@ def _ensure_builtins_imported(kind: str) -> None:
         "global_mapping": ["glim_tpu.mapping.global_mapping",
                            "glim_tpu.mapping.global_mapping_pose_graph"],
         "extension": ["glim_tpu.viewer.standard_viewer",
-                      "glim_tpu.viewer.memory_monitor"],
+                      "glim_tpu.viewer.memory_monitor",
+                      "glim_tpu.ros.rviz_viewer",
+                      "glim_tpu.common.imu_validation"],
     }
     for m in mods.get(kind, []):
         try:

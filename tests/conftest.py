@@ -8,6 +8,20 @@ re-update jax.config before any backend is initialized.
 """
 
 import os
+import resource
+
+# The default 8 MB stack soft-limit is too small for LLVM's recursive passes
+# when XLA compiles the largest fused programs (window_scan_step & friends):
+# deep pass pipelines segfault late in the suite once incidental stack usage
+# has crept up. The hard limit is unlimited here; Linux grows the main-thread
+# stack on demand up to the soft limit, so raising it in-process is effective.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY and _soft < 512 * 1024 * 1024:
+    _target = 512 * 1024 * 1024 if _hard == resource.RLIM_INFINITY else min(_hard, 512 * 1024 * 1024)
+    resource.setrlimit(resource.RLIMIT_STACK, (_target, _hard))
+import threading
+
+threading.stack_size(64 * 1024 * 1024)  # worker threads that trigger compiles
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: kernel env presets "axon"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -17,6 +31,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite compiles hundreds of programs in
+# one process; the XLA CPU compiler has been observed to segfault on a
+# late-suite compile after ~150 tests (LLVM state degradation — the same
+# program compiles fine in a fresh process). With the cache, repeat runs
+# deserialize instead of recompiling, which is both faster and avoids the
+# fragile late-process compiles entirely.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/glim_tpu_xla_cpu_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
