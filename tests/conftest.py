@@ -51,6 +51,25 @@ def rng():
     return np.random.default_rng(42)
 
 
+_prev_test_file = [None]
+
+
+def pytest_runtest_setup(item):
+    """Free compiled executables between test FILES.
+
+    The XLA CPU runtime degrades after hundreds of in-process executable
+    loads (observed: a reproducible SIGSEGV inside the JIT load path at
+    ~test 154 regardless of which program loads there — both fresh compiles
+    and persistent-cache deserializations crash, while the same test passes
+    with any shorter prefix). Dropping executables at file boundaries keeps
+    the loaded-executable count bounded; with the persistent cache the
+    re-loads are deserializations, not recompiles."""
+    fspath = str(item.fspath)
+    if _prev_test_file[0] is not None and fspath != _prev_test_file[0]:
+        jax.clear_caches()
+    _prev_test_file[0] = fspath
+
+
 @pytest.fixture(autouse=True)
 def _glim_lifecycle_cleanup():
     """Stop leaked worker threads and drop stale callback observers after
