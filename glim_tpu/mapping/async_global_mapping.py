@@ -98,9 +98,14 @@ class AsyncGlobalMapping:
                 while self._request_overlap:
                     self.global_mapping.find_overlapping_submaps(self._request_overlap.pop(0))
 
-                # Periodic idle optimization (reference: :96-118).
+                # Periodic idle optimization (reference: :96-118) — but only
+                # when the graph actually changed since the last solve:
+                # re-optimizing an unchanged graph steals the (shared)
+                # accelerator from the odometry hot loop for nothing.
                 if time.time() - self._last_optimization > self.optimization_interval:
-                    self.global_mapping.optimize()
+                    needs = getattr(self.global_mapping, "needs_optimize", None)
+                    if needs is None or needs():
+                        self.global_mapping.optimize()
                     self._last_optimization = time.time()
 
             if eos and self.input_submap_queue.empty() and not submaps:

@@ -132,6 +132,11 @@ class GlobalMapping(GlobalMappingBase):
                                                     angular_vel]))
 
     def insert_submap(self, submap: SubMap) -> None:
+        from glim_tpu.utils.profiling import profile_scope
+        with profile_scope("global/insert_submap"):
+            self._insert_submap_impl(submap)
+
+    def _insert_submap_impl(self, submap: SubMap) -> None:
         CB.on_insert_submap(submap)
         p = self.params
         i = len(self.submaps)
@@ -423,7 +428,19 @@ class GlobalMapping(GlobalMappingBase):
             matching_weight=jnp.float32(p.matching_weight),
         ), dict(Sp=Sp, Fp=Fp, Bp=Bp, Jp=Jp, Ap=Ap)
 
+    def needs_optimize(self) -> bool:
+        """Anything new since the last optimize?  The async wrapper's
+        periodic idle optimization consults this: re-optimizing an unchanged
+        graph only steals the accelerator from the odometry hot loop."""
+        return (self._new_loop_since_opt
+                or len(self.submaps) > self._last_opt_count)
+
     def optimize(self, mesh=None) -> None:
+        from glim_tpu.utils.profiling import profile_scope
+        with profile_scope("global/optimize"):
+            self._optimize_impl(mesh)
+
+    def _optimize_impl(self, mesh=None) -> None:
         p = self.params
         N = len(self.submaps)
         if N < 2:

@@ -252,6 +252,8 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         self.candidates: List[Tuple[int, int, np.ndarray]] = []
         self.num_loops = 0
         self._looped_pairs = set()
+        self._last_opt_n = 0         # poses at the last optimize
+        self._last_opt_factors = 0   # factors at the last optimize
         self.detector = LoopDetector(self) if self.params.enable_detection_thread \
             else None
         # request_to_optimize servicing belongs to AsyncGlobalMapping (it owns
@@ -271,6 +273,11 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
     # -- insertion --
 
     def insert_submap(self, submap: SubMap) -> None:
+        from glim_tpu.utils.profiling import profile_scope
+        with profile_scope("global/insert_submap"):
+            self._insert_submap_impl(submap)
+
+    def _insert_submap_impl(self, submap: SubMap) -> None:
         CB.on_insert_submap(submap)
         p = self.params
         i = len(self.submaps)
@@ -352,6 +359,11 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         """Registration + point-inlier-fraction validation (reference
         :404-417 — gtsam_points::inlier_fraction at the correspondence
         distance, NOT voxel overlap). Returns (tgt, src, Z, frac) or None."""
+        from glim_tpu.utils.profiling import profile_scope
+        with profile_scope("global/eval_candidate"):
+            return self._evaluate_candidate_impl(tgt, src, T_init)
+
+    def _evaluate_candidate_impl(self, tgt: int, src: int, T_init: np.ndarray):
         p = self.params
         sm = self.submaps[src]
         covs = sm.frame.covs
@@ -408,11 +420,26 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
 
     # -- optimization --
 
+    def needs_optimize(self) -> bool:
+        """Anything new since the last optimize? (new submaps, new factors,
+        or detected loops waiting to be collected)."""
+        if len(self.poses) > self._last_opt_n \
+                or len(self.f_i) > self._last_opt_factors:
+            return True
+        return self.detector is not None and self.detector.results.size() > 0
+
     def optimize(self) -> None:
+        from glim_tpu.utils.profiling import profile_scope
+        with profile_scope("global/optimize"):
+            self._optimize_impl()
+
+    def _optimize_impl(self) -> None:
         self._collect_detected_loops()
         p = self.params
         N = len(self.poses)
         B = len(self.f_i)
+        self._last_opt_n = N
+        self._last_opt_factors = B
         if N < 2 or B == 0:
             return
         n_cap = _pad_pow2(N)

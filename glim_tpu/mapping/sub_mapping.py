@@ -151,7 +151,11 @@ def _smooth_chain(T_start, v_start, bias, acc, gyro, dts, mask, stamps_rel,
     sigmas = dts / jnp.maximum(span, 1e-3) + 1e-2
     Rs2, ps2 = imu_ops.smooth_pose_chain(Rs, ps, mask, sigmas, T_wi1)
     quats = jax.vmap(lambda R: _rot_to_quat_dev(R))(Rs2)
-    return stamps_rel, quats, ps2
+    # ONE packed (8, CAP) output [stamps_rel; trans; quats] so the caller
+    # can keep it device-resident (padded stamps pushed to +1e9 to stay
+    # monotone for deskew's searchsorted over the pose table).
+    stamps_safe = jnp.where(mask, stamps_rel, 1e9)
+    return jnp.concatenate([stamps_safe[None, :], ps2.T, quats.T], axis=0)
 
 
 def _rot_to_quat_dev(R):
@@ -198,7 +202,18 @@ class SubMapping(SubMappingBase):
 
     def _process_frame(self, frame: EstimationFrame,
                        next_frame: Optional[EstimationFrame]) -> None:
+        from glim_tpu.utils.profiling import profile_scope
+        with profile_scope("sub/process_frame"):
+            self._process_frame_impl(frame, next_frame)
+
+    def _process_frame_impl(self, frame: EstimationFrame,
+                            next_frame: Optional[EstimationFrame]) -> None:
         p = self.params
+        # One packed fetch for pose+velocity+bias instead of three lazy
+        # roundtrips (each would serialize behind the odometry device queue).
+        frame.fetch_state()
+        if next_frame is not None:
+            next_frame.fetch_state()
 
         if p.enable_imu and next_frame is not None:
             self._smooth_imu_rate(frame, next_frame)
@@ -317,7 +332,7 @@ class SubMapping(SubMappingBase):
             return
         v = frame.v_world_imu
         b = frame.imu_bias
-        stamps_rel, quats, trans = _smooth_chain(
+        packed = _smooth_chain(
             jnp.asarray(frame.T_world_sensor(), jnp.float32),
             jnp.asarray(np.zeros(3) if v is None else v, jnp.float32),
             jnp.asarray(np.zeros(6) if b is None else b, jnp.float32),
@@ -326,12 +341,12 @@ class SubMapping(SubMappingBase):
             jnp.float32(next_frame.stamp - frame.stamp),
             jnp.asarray(next_frame.T_world_sensor(), jnp.float32),
             jnp.asarray(np.linalg.inv(frame.T_lidar_imu), jnp.float32))
-        n = int(mask.sum())
-        traj = np.zeros((8, n))
-        traj[0] = np.asarray(stamps_rel)[:n] + frame.stamp
-        traj[1:4] = np.asarray(trans)[:n].T
-        traj[4:8] = np.asarray(quats)[:n].T
-        frame.imu_rate_trajectory = traj
+        # Keep the trajectory device-resident: the keyframe re-deskew
+        # consumes it on device, and the host copy (dump/export) is
+        # materialized lazily — no blocking fetch in the per-frame loop.
+        frame.imu_rate_trajectory = None
+        frame.device_imu_rate_trajectory = (packed, int(mask.sum()),
+                                            frame.stamp)
 
     def _should_insert_keyframe(self, frame: EstimationFrame) -> bool:
         p = self.params
@@ -369,14 +384,24 @@ class SubMapping(SubMappingBase):
         mask = frame.frame.mask
         raw = frame.raw_frame
 
-        if (p.enable_imu and raw is not None
-                and frame.imu_rate_trajectory is not None
-                and frame.imu_rate_trajectory.shape[1] >= 2
+        dev_irt = frame.device_imu_rate_trajectory
+        host_irt = frame._imu_rate_trajectory
+        has_irt = ((dev_irt is not None and dev_irt[1] >= 2)
+                   or (host_irt is not None and host_irt.shape[1] >= 2))
+        if (p.enable_imu and raw is not None and has_irt
                 and getattr(raw, "device_points", None) is not None):
-            traj = frame.imu_rate_trajectory
-            stamps_rel = jnp.asarray(traj[0] - frame.stamp, jnp.float32)
-            quats = jnp.asarray(traj[4:8].T, jnp.float32)
-            trans = jnp.asarray(traj[1:4].T, jnp.float32)
+            if dev_irt is not None:
+                # Device-resident packed table: zero host roundtrips
+                # (padding stamps sit at +1e9, monotone for searchsorted).
+                packed, _n, _s0 = dev_irt
+                stamps_rel = packed[0]
+                trans = packed[1:4].T
+                quats = packed[4:8].T
+            else:
+                traj = host_irt
+                stamps_rel = jnp.asarray(traj[0] - frame.stamp, jnp.float32)
+                quats = jnp.asarray(traj[4:8].T, jnp.float32)
+                trans = jnp.asarray(traj[1:4].T, jnp.float32)
             # deskew_imu returns scan-start LiDAR-frame points — the frame
             # the submap's keyframe clouds live in.
             pts = deskew_ops.deskew_imu(
@@ -505,6 +530,11 @@ class SubMapping(SubMappingBase):
                 np.asarray(b, np.float64)[:N])
 
     def _create_submap(self) -> None:
+        from glim_tpu.utils.profiling import profile_scope
+        with profile_scope("sub/create_submap"):
+            self._create_submap_impl()
+
+    def _create_submap_impl(self) -> None:
         p = self.params
         K = len(self.keyframes)
         N = len(self.frames)

@@ -34,6 +34,7 @@ class AsyncOdometryEstimation:
 
         self._end_of_sequence = threading.Event()
         self._internal_frames: List[PreprocessedFrame] = []
+        self._pending_out: List[EstimationFrame] = []
         self._last_imu_stamp = -1.0
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
@@ -87,13 +88,25 @@ class AsyncOdometryEstimation:
                     break
                 self._internal_frames.pop(0)
                 marginalized: List[EstimationFrame] = []
-                est = self.odometry.insert_frame(frame, marginalized)
+                from glim_tpu.utils.profiling import profile_scope
+                with profile_scope("odometry"):
+                    est = self.odometry.insert_frame(frame, marginalized)
                 if est is not None:
-                    self.output_estimation_results.push_back(est)
+                    # Publish one frame late: by the next scan the estimator
+                    # has decoded this frame's lagged status and filled its
+                    # HOST pose caches, so consumers (trajectory, viewers)
+                    # never block on a device fetch.
+                    if self._pending_out:
+                        self.output_estimation_results.push_back(
+                            self._pending_out.pop(0))
+                    self._pending_out.append(est)
                 if marginalized:
                     self.output_marginalized_frames.insert(marginalized)
 
             if eos and not self._internal_frames and self.input_frame_queue.empty():
+                for e in self._pending_out:
+                    self.output_estimation_results.push_back(e)
+                self._pending_out = []
                 remaining = self.odometry.get_remaining_frames()
                 if remaining:
                     self.output_marginalized_frames.insert(remaining)

@@ -340,11 +340,13 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             self._last_state_covs = out["state_covs"]
             self._attach_covs(est, out["state_covs"][self.W - 1])
         if p.save_imu_rate_trajectory:
+            # Device-resident packed table; materialized lazily (dump time)
+            # instead of three blocking per-scan fetches in the hot loop.
             stamps_t, quats_t, trans_t = out["pose_table"]
-            q_np = np.asarray(quats_t)
-            est.imu_rate_trajectory = np.vstack([
-                np.asarray(stamps_t)[None, :] + frame.stamp,
-                np.asarray(trans_t).T, q_np.T])
+            packed = jnp.concatenate(
+                [stamps_t[None, :], trans_t.T, quats_t.T], axis=0)
+            est.device_imu_rate_trajectory = (
+                packed, int(stamps_t.shape[0]), frame.stamp)
         self._est_frames.append(est)
         CB.on_new_frame(est)
         CB.on_update_frames(self._est_frames)
@@ -404,12 +406,27 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             logger.error("window optimization corrupted at %.3f; IMU-prediction "
                          "fallback engaged", stamp)
             CB.on_smoother_corruption(stamp)
+        if finite:
+            # The optimized pose/velocity ride along in the lagged status
+            # vector — fill the frame's host caches so downstream consumers
+            # (trajectory bookkeeping, viewers) never pay a blocking device
+            # fetch that would serialize behind the odometry program queue.
+            T_opt = np.asarray(
+                s[STATUS_POSES + 19:STATUS_POSES + 35], np.float64).reshape(4, 4)
+            v_opt = np.asarray(s[STATUS_POSES + 35:STATUS_POSES + 38], np.float64)
+            if prev is not None:
+                if prev._T_world_imu is None:
+                    prev._T_world_imu = T_opt
+                if prev._T_world_lidar is None:
+                    prev._T_world_lidar = T_opt @ np.linalg.inv(prev.T_lidar_imu)
+                if prev._v_world_imu is None:
+                    prev._v_world_imu = v_opt
         if self.imu_validation is not None and finite:
             T_pred = s[STATUS_POSES:STATUS_POSES + 16].reshape(4, 4)
             v_pred = s[STATUS_POSES + 16:STATUS_POSES + 19]
-            T_opt = s[STATUS_POSES + 19:STATUS_POSES + 35].reshape(4, 4)
-            v_opt = s[STATUS_POSES + 35:STATUS_POSES + 38]
-            self.imu_validation.validate(T_pred, v_pred, T_opt, v_opt, dt)
+            T_opt32 = s[STATUS_POSES + 19:STATUS_POSES + 35].reshape(4, 4)
+            v_opt32 = s[STATUS_POSES + 35:STATUS_POSES + 38]
+            self.imu_validation.validate(T_pred, v_pred, T_opt32, v_opt32, dt)
 
         if prev is None or not finite:
             return

@@ -209,7 +209,11 @@ class EstimationFrame:
         self.device_v_world_imu = device_v_world_imu
         self._imu_bias = imu_bias
         self.device_imu_bias = device_imu_bias
-        self.imu_rate_trajectory = imu_rate_trajectory
+        self._imu_rate_trajectory = imu_rate_trajectory
+        # Device-resident IMU-rate trajectory: (packed (8, CAP) [stamps_rel;
+        # trans(3); quats(4)], n_valid, stamp0) — materialized lazily so the
+        # per-scan hot loops never pay a blocking device->host fetch for it.
+        self.device_imu_rate_trajectory = None
         self.cov_pose = cov_pose
         self.cov_velocity = cov_velocity
         self.cov_bias = cov_bias
@@ -243,6 +247,49 @@ class EstimationFrame:
     @T_world_imu.setter
     def T_world_imu(self, T) -> None:
         self._T_world_imu = np.asarray(T, np.float64)
+
+    @property
+    def imu_rate_trajectory(self):
+        """(8, n) [abs stamps; trans xyz; quat xyzw] or None. Materialized
+        lazily from ``device_imu_rate_trajectory`` on first host access."""
+        if self._imu_rate_trajectory is None \
+                and self.device_imu_rate_trajectory is not None:
+            packed, n, stamp0 = self.device_imu_rate_trajectory
+            arr = np.asarray(packed, np.float64)[:, :n].copy()
+            arr[0] += stamp0
+            self._imu_rate_trajectory = arr
+        return self._imu_rate_trajectory
+
+    @imu_rate_trajectory.setter
+    def imu_rate_trajectory(self, traj) -> None:
+        self._imu_rate_trajectory = traj
+
+    def fetch_state(self) -> None:
+        """Materialize pose/velocity/bias host caches in ONE device->host
+        roundtrip (a packed 25-float fetch) instead of three; no-op for
+        values already cached."""
+        need_T = self._T_world_lidar is None and self.device_T_world_lidar is not None
+        need_v = self._v_world_imu is None and self.device_v_world_imu is not None
+        need_b = self._imu_bias is None and self.device_imu_bias is not None
+        if sum((need_T, need_v, need_b)) < 2:
+            return
+        import jax.numpy as jnp
+        parts = [
+            jnp.reshape(self.device_T_world_lidar, (-1,)) if need_T
+            else jnp.zeros(16, jnp.float32),
+            jnp.reshape(self.device_v_world_imu, (-1,)) if need_v
+            else jnp.zeros(3, jnp.float32),
+            jnp.reshape(self.device_imu_bias, (-1,)) if need_b
+            else jnp.zeros(6, jnp.float32),
+        ]
+        packed = np.asarray(jnp.concatenate(
+            [p.astype(jnp.float32) for p in parts]), np.float64)
+        if need_T:
+            self._T_world_lidar = packed[:16].reshape(4, 4)
+        if need_v:
+            self._v_world_imu = packed[16:19]
+        if need_b:
+            self._imu_bias = packed[19:25]
 
     @property
     def imu_bias(self) -> np.ndarray:
