@@ -192,13 +192,20 @@ def bench_e2e_async():
     """Production end-to-end scans/s: the GlimTPU pipeline in async mode
     (preprocess in the feed thread, odometry / sub-mapping / global mapping
     on their own workers — the reference's deployment topology,
-    glim_ros/async wrappers). This is the number a live sensor stream sees."""
+    glim_ros/async wrappers). This is the number a live sensor stream sees.
+
+    The feed loop throttles on pipeline backpressure (workload-gated, like
+    glim_rosbag's playback throttling): the sustained rate is the pipeline's
+    steady-state throughput — the slowest stage's pace, with bounded queues.
+    The end-of-sequence drain (final global optimize + loop-detection
+    flush, a fixed cost no live stream pays per scan) is reported
+    separately."""
     import jax
 
     from glim_tpu.io.synthetic import generate_sequence
     from glim_tpu.pipeline import GlimTPU
 
-    seq = generate_sequence(duration=6.0, scan_hz=10.0, n_scan_points=20000,
+    seq = generate_sequence(duration=10.0, scan_hz=10.0, n_scan_points=20000,
                             noise=0.01, seed=17, scene_points=120000)
     glim = GlimTPU(async_mode=True)
     n_warm = 16
@@ -210,13 +217,16 @@ def bench_e2e_async():
             r = seq.imu[imu_idx]
             glim.insert_imu(r[0], r[1:4], r[4:7])
             imu_idx += 1
+        while glim.workload() > 4:       # backpressure (bounded queues)
+            time.sleep(0.005)
+            glim._pump()
         glim.insert_frame(raw)
 
     for raw in seq.scans[:n_warm]:
         feed(raw)
-    # Drain the warmup: wait until the odometry worker has consumed
-    # everything fed so far (compiles land here, not in the timed region).
-    while glim.odometry.workload() > 0:
+    # Drain the warmup: wait until every worker has consumed everything fed
+    # so far (compiles land here, not in the timed region).
+    while glim.workload() > 0:
         time.sleep(0.02)
         glim._pump()
     odom = glim.odometry.odometry
@@ -226,10 +236,19 @@ def bench_e2e_async():
     t0 = time.perf_counter()
     for raw in seq.scans[n_warm:]:
         feed(raw)
-    glim.wait()
-    elapsed = time.perf_counter() - t0
+    # Sustained region ends when the workers have consumed the stream
+    # (queues empty), i.e. the pipeline kept pace with the feed.
+    while glim.workload() > 0:
+        time.sleep(0.005)
+        glim._pump()
+    t1 = time.perf_counter()
+    glim.wait()                          # end-of-sequence flush/optimize
+    t2 = time.perf_counter()
     n_timed = len(seq.scans) - n_warm
-    return {"e2e_async_scans_per_sec": round(n_timed / elapsed, 2),
+    return {"e2e_async_scans_per_sec": round(n_timed / (t1 - t0), 2),
+            "e2e_async_scans_per_sec_with_drain":
+                round(n_timed / (t2 - t0), 2),
+            "e2e_async_drain_s": round(t2 - t1, 2),
             "e2e_async_n_scans": n_timed}
 
 

@@ -1,18 +1,22 @@
-"""Pure-Python ROS 2 bag ingestion: rosbag2 (sqlite3) and MCAP readers.
+"""Pure-Python ROS bag ingestion: ROS1 ``.bag``, rosbag2 (sqlite3), MCAP.
 
 The reference consumes live ROS topics or plays rosbags through the
 glim_rosbag executable (reference docs/quickstart.md:40-79); this sandboxed
-build cannot depend on ROS, so this module reads the two standard ROS 2
+build cannot depend on ROS, so this module reads the three standard bag
 storage formats directly:
 
+  * ROS1 ``*.bag`` (format 2.0): record stream with connection / chunk /
+    message-data records; uncompressed and bz2 chunks are handled, lz4
+    only if the codec module happens to be importable. Payloads use ROS1
+    serialization (packed little-endian, no alignment).
   * rosbag2 sqlite3 (``*.db3`` + metadata.yaml): topics/messages tables,
     message payloads are CDR-encapsulated.
   * MCAP (``*.mcap``): schema/channel/message/chunk records; uncompressed
     and zlib chunks are handled, zstd/lz4 only if the codec module happens
     to be importable.
 
-A minimal CDR (XCDR1 little-endian) decoder extracts exactly the two
-message types the pipeline needs — ``sensor_msgs/msg/PointCloud2`` and
+A minimal decoder (XCDR1 for ROS2, packed unaligned for ROS1) extracts
+exactly the two message types the pipeline needs — ``sensor_msgs/msg/PointCloud2`` and
 ``sensor_msgs/msg/Imu`` — and hands PointCloud2 to the existing duck-typed
 converter (glim_tpu.ros.cloud_converter.extract_raw_points, the
 util/ros_cloud_converter.hpp equivalent).
@@ -35,18 +39,28 @@ import numpy as np
 
 class CdrReader:
     """Minimal XCDR1 reader. Alignment is relative to the start of the
-    serialized payload (after the 4-byte RTPS encapsulation header)."""
+    serialized payload (after the 4-byte RTPS encapsulation header).
 
-    def __init__(self, buf: bytes):
-        if len(buf) < 4:
-            raise ValueError("CDR payload too short")
-        # Encapsulation: {0x00, 0x01}=BE/LE CDR, {0x02,0x03}=PL_CDR.
-        self.little = buf[1] in (0x01, 0x03)
-        self.buf = memoryview(buf)[4:]
+    With ``ros1=True`` the same reader parses ROS1 serialization instead:
+    no encapsulation header, packed little-endian, no alignment."""
+
+    def __init__(self, buf: bytes, ros1: bool = False):
+        self.ros1 = ros1
+        if ros1:
+            self.little = True
+            self.buf = memoryview(buf)
+        else:
+            if len(buf) < 4:
+                raise ValueError("CDR payload too short")
+            # Encapsulation: {0x00, 0x01}=BE/LE CDR, {0x02,0x03}=PL_CDR.
+            self.little = buf[1] in (0x01, 0x03)
+            self.buf = memoryview(buf)[4:]
         self.pos = 0
         self._end = "<" if self.little else ">"
 
     def _align(self, n: int) -> None:
+        if self.ros1:
+            return
         r = self.pos % n
         if r:
             self.pos += n - r
@@ -140,14 +154,16 @@ class _Header:
 
 
 def _read_header(r: CdrReader) -> _Header:
+    if r.ros1:
+        r.uint32()                   # std_msgs/Header.seq (ROS1 only)
     sec = r.int32()
     nanosec = r.uint32()
     frame_id = r.string()
     return _Header(_Stamp(sec, nanosec), frame_id)
 
 
-def decode_pointcloud2(payload: bytes) -> PointCloud2Msg:
-    r = CdrReader(payload)
+def decode_pointcloud2(payload: bytes, fmt: str = "cdr") -> PointCloud2Msg:
+    r = CdrReader(payload, ros1=(fmt == "ros1"))
     msg = PointCloud2Msg()
     msg.header = _read_header(r)
     msg.height = r.uint32()
@@ -178,8 +194,8 @@ class ImuMsg:
     linear_acceleration: np.ndarray  # (3,)
 
 
-def decode_imu(payload: bytes) -> ImuMsg:
-    r = CdrReader(payload)
+def decode_imu(payload: bytes, fmt: str = "cdr") -> ImuMsg:
+    r = CdrReader(payload, ros1=(fmt == "ros1"))
     h = _read_header(r)
     quat = r.float64_array(4)
     _ = r.float64_array(9)           # orientation covariance
@@ -215,6 +231,111 @@ def read_rosbag2_db3(path: str) -> Iterator[Tuple[str, str, int, bytes]]:
             yield name, typ, stamp, data
     finally:
         conn.close()
+
+
+# ------------------------------------------------------------- ROS1 .bag
+
+ROSBAG1_MAGIC = b"#ROSBAG V2.0\n"
+
+# Record op codes (rosbag format 2.0).
+_R1_MSG_DATA = 0x02
+_R1_CHUNK = 0x05
+_R1_CONNECTION = 0x07
+
+
+def _ros1_fields(buf: memoryview) -> dict:
+    """Parse a ROS1 record header: sequence of <u32 len><name>=<value>."""
+    fields = {}
+    pos = 0
+    n = len(buf)
+    while pos + 4 <= n:
+        (flen,) = struct.unpack_from("<I", buf, pos)
+        item = bytes(buf[pos + 4:pos + 4 + flen])
+        name, _, value = item.partition(b"=")
+        fields[name.decode("ascii", "replace")] = value
+        pos += 4 + flen
+    return fields
+
+
+def _ros1_records(buf: memoryview) -> Iterator[Tuple[dict, memoryview]]:
+    """Yield (header_fields, data) records from a ROS1 record stream."""
+    pos = 0
+    n = len(buf)
+    while pos + 4 <= n:
+        (hlen,) = struct.unpack_from("<I", buf, pos)
+        header = _ros1_fields(buf[pos + 4:pos + 4 + hlen])
+        pos += 4 + hlen
+        if pos + 4 > n:
+            break
+        (dlen,) = struct.unpack_from("<I", buf, pos)
+        yield header, buf[pos + 4:pos + 4 + dlen]
+        pos += 4 + dlen
+
+
+def _ros1_decompress(comp: str, data: memoryview) -> memoryview:
+    if comp in ("", "none"):
+        return data
+    if comp == "bz2":
+        import bz2
+        return memoryview(bz2.decompress(bytes(data)))
+    if comp == "lz4":
+        try:
+            import lz4.frame
+            return memoryview(lz4.frame.decompress(bytes(data)))
+        except ImportError:
+            raise RuntimeError(
+                "ROS1 chunk uses lz4 compression and no lz4 module is "
+                "available; re-record with --bz2 or uncompressed")
+    raise RuntimeError(f"unknown ROS1 chunk compression {comp!r}")
+
+
+def read_rosbag1(path: str) -> Iterator[Tuple[str, str, int, bytes]]:
+    """Yield (topic, type, stamp_ns, payload) from a ROS1 .bag (v2.0).
+
+    The record stream is walked sequentially (no index needed): connection
+    records inside chunks precede the message-data records that use them,
+    so one pass suffices. Payloads use ROS1 serialization (``fmt='ros1'``
+    for the decoders). Replaces the reference's rosbag::Bag playback in
+    glim_rosbag (reference docs/quickstart.md:40-79)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if not raw.startswith(ROSBAG1_MAGIC):
+        raise ValueError(f"{path}: not a ROS1 v2.0 bag")
+    buf = memoryview(raw)[len(ROSBAG1_MAGIC):]
+
+    conns = {}      # conn id -> (topic, type)
+
+    def handle(header: dict, data: memoryview):
+        op = header.get("op", b"\x00")[0]
+        if op == _R1_CONNECTION:
+            (cid,) = struct.unpack("<I", header["conn"])
+            # The connection *data* is itself a field sequence carrying the
+            # full connection header (topic, type, md5sum, definition).
+            info = _ros1_fields(data)
+            topic = info.get("topic", header.get("topic", b"?")).decode(
+                "utf-8", "replace")
+            typ = info.get("type", b"?").decode("utf-8", "replace")
+            conns[cid] = (topic, typ)
+        elif op == _R1_MSG_DATA:
+            (cid,) = struct.unpack("<I", header["conn"])
+            sec, nsec = struct.unpack("<II", header["time"])
+            topic, typ = conns.get(cid, ("?", "?"))
+            return topic, typ, sec * 1_000_000_000 + nsec, bytes(data)
+        return None
+
+    for header, data in _ros1_records(buf):
+        op = header.get("op", b"\x00")[0]
+        if op == _R1_CHUNK:
+            comp = header.get("compression", b"none").decode("ascii")
+            inner = _ros1_decompress(comp, data)
+            for h2, d2 in _ros1_records(inner):
+                out = handle(h2, d2)
+                if out:
+                    yield out
+        else:
+            out = handle(header, data)
+            if out:
+                yield out
 
 
 # ------------------------------------------------------------------ MCAP
@@ -314,26 +435,52 @@ def read_mcap(path: str) -> Iterator[Tuple[str, str, int, bytes]]:
 
 # --------------------------------------------------------------- frontend
 
-def read_bag(path: str) -> Iterator[Tuple[str, str, int, bytes]]:
-    """Dispatch on bag flavor: directory with .db3 / .db3 file / .mcap."""
+def _is_rosbag1(path: str) -> bool:
+    if path.endswith(".bag"):
+        return True
+    try:
+        with open(path, "rb") as f:
+            return f.read(len(ROSBAG1_MAGIC)) == ROSBAG1_MAGIC
+    except OSError:
+        return False
+
+
+def read_bag(path: str) -> Iterator[Tuple[str, str, int, bytes, str]]:
+    """Dispatch on bag flavor: ROS1 .bag / directory with .db3 / .db3 file /
+    .mcap. Yields (topic, type, stamp_ns, payload, fmt) where fmt is the
+    payload serialization ('ros1' or 'cdr')."""
     if os.path.isdir(path):
         entries = os.listdir(path)
         if any(e.endswith(".mcap") for e in entries):
             for e in sorted(entries):
                 if e.endswith(".mcap"):
-                    yield from read_mcap(os.path.join(path, e))
+                    for rec in read_mcap(os.path.join(path, e)):
+                        yield rec + ("cdr",)
             return
-        yield from read_rosbag2_db3(path)
+        if any(e.endswith(".bag") for e in entries) and \
+                not any(e.endswith(".db3") for e in entries):
+            for e in sorted(entries):
+                if e.endswith(".bag"):
+                    for rec in read_rosbag1(os.path.join(path, e)):
+                        yield rec + ("ros1",)
+            return
+        for rec in read_rosbag2_db3(path):
+            yield rec + ("cdr",)
     elif path.endswith(".mcap"):
-        yield from read_mcap(path)
+        for rec in read_mcap(path):
+            yield rec + ("cdr",)
+    elif _is_rosbag1(path):
+        for rec in read_rosbag1(path):
+            yield rec + ("ros1",)
     else:
-        yield from read_rosbag2_db3(path)
+        for rec in read_rosbag2_db3(path):
+            yield rec + ("cdr",)
 
 
 def bag_topics(path: str) -> dict:
     """Map topic -> (type, count) without decoding payloads."""
     out = {}
-    for topic, typ, _, _ in read_bag(path):
+    for topic, typ, _, _, _ in read_bag(path):
         t, c = out.get(topic, (typ, 0))
         out[topic] = (typ, c + 1)
     return out
@@ -346,14 +493,14 @@ def iter_sensor_messages(path: str, points_topic: Optional[str] = None,
     Topics are auto-discovered from message types when not given."""
     from glim_tpu.ros.cloud_converter import extract_raw_points
 
-    for topic, typ, stamp_ns, payload in read_bag(path):
+    for topic, typ, stamp_ns, payload, fmt in read_bag(path):
         base = typ.replace("/msg/", "/")
         if base.endswith("sensor_msgs/PointCloud2") and \
                 (points_topic is None or topic == points_topic):
-            msg = decode_pointcloud2(payload)
+            msg = decode_pointcloud2(payload, fmt)
             raw = extract_raw_points(msg)
             if raw is not None:
                 yield "points", raw
         elif base.endswith("sensor_msgs/Imu") and \
                 (imu_topic is None or topic == imu_topic):
-            yield "imu", decode_imu(payload)
+            yield "imu", decode_imu(payload, fmt)

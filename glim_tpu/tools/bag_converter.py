@@ -1,4 +1,5 @@
-"""Convert a ROS 2 bag (rosbag2 .db3 or MCAP) into a glim_runner dataset.
+"""Convert a ROS bag (ROS1 .bag, rosbag2 .db3, or MCAP) into a glim_runner
+dataset.
 
     python -m glim_tpu.tools.bag_converter <bag> <out_dir>
         [--points-topic /os_cloud_node/points] [--imu-topic /os_cloud_node/imu]
@@ -22,7 +23,7 @@ import numpy as np
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("bag", help="rosbag2 directory / .db3 / .mcap")
+    ap.add_argument("bag", help="ROS1 .bag / rosbag2 directory / .db3 / .mcap")
     ap.add_argument("out", nargs="?", help="output dataset directory")
     ap.add_argument("--points-topic", default=None)
     ap.add_argument("--imu-topic", default=None)
