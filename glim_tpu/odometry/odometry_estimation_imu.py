@@ -193,8 +193,16 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         self.imu_buffer: List[np.ndarray] = []   # rows [t, ax..az, wx..wz]
         self._init_odom = None
         self._init_poses: List = []
-        self._pending_status = None
-        self._pending_frame: Optional[EstimationFrame] = None
+        # Status entries (status_array, stamp, dt, frame) decoded LAZILY,
+        # `_status_lag` scans late: the packed status D2H copy of scan N
+        # rides the tunnel while scans N+1..N+lag dispatch, so by decode
+        # time it has landed and np.asarray() never blocks. lag=1 was
+        # measured to still block ~20 ms/scan at max feed rate (the copy
+        # completes ~one roundtrip after the step finishes); lag=2 makes
+        # the decode free and costs only one extra scan of keyframe-
+        # decision latency.
+        self._pending: List[tuple] = []
+        self._status_lag = 2
         self._last_state_covs = None
         self._covs_requested = bool(p.compute_covs)
         self.initialized = False
@@ -280,8 +288,9 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             self.last_frame_stamp = frame.stamp
             return self._est_frames[-1]
 
-        # Keyframe decision for the PREVIOUS frame (its status has landed);
-        # must run BEFORE this scan's dispatch so the map includes it.
+        # Keyframe decisions for frames whose status has landed (lag scans
+        # back); must run BEFORE this scan's dispatch so the map includes
+        # them.
         self._process_status()
 
         # Host-side eviction decision (mirrors the device ring exactly).
@@ -352,7 +361,7 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         CB.on_update_frames(self._est_frames)
         CB.on_smoother_update_finish(self)
 
-        # Stash this scan's status; it is decoded when the NEXT scan arrives.
+        # Stash this scan's status; it is decoded `_status_lag` scans later.
         # Start the device->host copy NOW so the decode never pays the
         # tunnel roundtrip (~30 ms on remoted chips).
         status = out["status"]
@@ -360,16 +369,15 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             status.copy_to_host_async()
         except AttributeError:
             pass
-        self._pending_status = (status, frame.stamp,
-                                frame.stamp - self.last_frame_stamp)
-        self._pending_frame = est
+        self._pending.append((status, frame.stamp,
+                              frame.stamp - self.last_frame_stamp, est))
 
         self.frame_count += 1
         self.last_frame_stamp = frame.stamp
         return est
 
     def get_remaining_frames(self) -> List[EstimationFrame]:
-        self._process_status()
+        self._process_status(drain=True)
         if self.window is not None and self._est_frames:
             # Final pose refresh from the optimized window.
             n = len(self._est_frames)
@@ -391,15 +399,16 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         est.cov_velocity = cov15[6:9, 6:9]
         est.cov_bias = cov15[9:15, 9:15]
 
-    def _process_status(self) -> None:
-        """Decode the previous scan's status: corruption check, IMU
-        validation, and the keyframe-strategy decision for that frame."""
-        if self._pending_status is None:
-            return
-        status, stamp, dt = self._pending_status
-        prev = self._pending_frame
-        self._pending_status = None
-        self._pending_frame = None
+    def _process_status(self, drain: bool = False) -> None:
+        """Decode landed statuses (``_status_lag`` scans back): corruption
+        check, IMU validation, and the keyframe-strategy decision for each
+        decoded frame."""
+        while self._pending and (drain
+                                 or len(self._pending) >= self._status_lag):
+            self._decode_status(*self._pending.pop(0))
+
+    def _decode_status(self, status, stamp, dt,
+                       prev: Optional[EstimationFrame]) -> None:
         s = np.asarray(status)
         finite = s[STATUS_FINITE] > 0.5
         if not finite:
