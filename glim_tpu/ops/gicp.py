@@ -128,8 +128,10 @@ def vgicp_linearize(T_target: jnp.ndarray, T_source: jnp.ndarray,
     vidx = voxelmap_lookup(vm, q)
     hit = (vidx >= 0) & src_mask
     safe = jnp.maximum(vidx, 0)
-    mu = vm.mean[safe]
-    C_t = vm.cov[safe]
+    stats = jnp.concatenate([vm.mean, vm.cov.reshape(-1, 9)], axis=1)
+    row = stats[safe]
+    mu = row[:, :3]
+    C_t = row[:, 3:].reshape(-1, 3, 3)
 
     C_s_rot = jnp.einsum("ij,cjk,lk->cil", R_rel, src_covs, R_rel)
     omega = inv_sym3x3(C_t + C_s_rot)
@@ -150,7 +152,12 @@ def vgicp_lookup(T_target: jnp.ndarray, T_source: jnp.ndarray,
     vidx = voxelmap_lookup(vm, q)
     hit = (vidx >= 0) & src_mask
     safe = jnp.maximum(vidx, 0)
-    return vm.mean[safe], vm.cov[safe], hit
+    # One fused (V, 12) row gather for mean+cov instead of two separate
+    # gathers; the pack is elementwise over the table and CSE'd once per
+    # compiled program across every lookup site sharing the map.
+    stats = jnp.concatenate([vm.mean, vm.cov.reshape(-1, 9)], axis=1)
+    row = stats[safe]
+    return row[:, :3], row[:, 3:].reshape(-1, 3, 3), hit
 
 
 @jax.jit

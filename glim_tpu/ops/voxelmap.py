@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from glim_tpu.ops.pointops import (INVALID_HASH, hash_coords, hash_coords2,
                                    voxel_coords)
 
-_PROBE = 8  # max entries scanned past the binary-search hit (hash collisions)
+_PROBE = 4  # max entries scanned past the binary-search hit. The window only
+# needs to cover runs of EQUAL hash_coords values in the sorted table (the
+# probe compares the (h1, h2) double hash, so anything else terminates the
+# run): ~131k entries yield an expected 4 colliding h1 pairs (birthday bound
+# C(n,2)/2^31), i.e. run lengths of 2-3 at the tail. Each probe is one row
+# gather, so halving the window halves the lookup's dominant gather cost.
 
 
 def _sort_by_hash_pair(h1, h2, *payloads):
@@ -215,17 +220,30 @@ def voxelmap_lookup(vm: GaussianVoxelMap, points: jnp.ndarray) -> jnp.ndarray:
     inv_res = 1.0 / vm.resolution
     q_coords = voxel_coords(points, inv_res)
     q_hash = hash_coords(q_coords)
+    q_h2 = hash_coords2(q_coords)
     # method="sort" turns the binary search into one co-sort of
     # (table, queries) — on TPU the 17-iteration while loop of the default
     # method costs ~2 ms per 16k-query lookup while sorts of the same size
     # run in ~0.2 ms (profiler-traced).
     base = jnp.searchsorted(vm.hash, q_hash, method="sort")
 
+    # Probe identity is the (h1, h2) double hash — the SAME key the insert
+    # segment-reduces by, so lookup is exactly as exact as the map's own
+    # notion of a voxel (joint collision ~2^-62). Packing both hashes into
+    # one (V, 2) row turns each probe into a single gather where comparing
+    # hash + 3 raw coords needed two; the pack itself is elementwise over
+    # the table and CSE'd once per compiled program however many lookup
+    # sites share the map. Random-access gathers from the HBM-resident
+    # table are the lookup's dominant cost on TPU (measured ~3 ms per
+    # 10k-query site at _PROBE=8 with per-probe hash+coord gathers).
+    t_h2 = jnp.where(vm.valid, hash_coords2(vm.coords), INVALID_HASH)
+    keys = jnp.stack([vm.hash, t_h2], axis=1)        # (V, 2)
     found = jnp.full(q_hash.shape, -1, jnp.int32)
     V = vm.capacity
     for w in range(_PROBE):
         idx = jnp.minimum(base + w, V - 1)
-        hit = (vm.hash[idx] == q_hash) & jnp.all(vm.coords[idx] == q_coords, axis=-1)
+        kr = keys[idx]
+        hit = (kr[:, 0] == q_hash) & (kr[:, 1] == q_h2)
         found = jnp.where((found < 0) & hit, idx.astype(jnp.int32), found)
     return found
 
