@@ -68,7 +68,7 @@ def main():
     e2e_stats = run_budgeted("e2e", float(os.environ.get(
         "GLIM_BENCH_E2E_BUDGET", "420")))
     e2e_async_stats = run_budgeted("e2e-async", float(os.environ.get(
-        "GLIM_BENCH_E2E_ASYNC_BUDGET", "420")))
+        "GLIM_BENCH_E2E_ASYNC_BUDGET", "600")))
 
     from glim_tpu.io.synthetic import generate_sequence, ate_rmse
     from glim_tpu.odometry.odometry_estimation_cpu import (
@@ -200,55 +200,65 @@ def bench_e2e_async():
     The end-of-sequence drain (final global optimize + loop-detection
     flush, a fixed cost no live stream pays per scan) is reported
     separately."""
-    import jax
-
     from glim_tpu.io.synthetic import generate_sequence
     from glim_tpu.pipeline import GlimTPU
 
     seq = generate_sequence(duration=10.0, scan_hz=10.0, n_scan_points=20000,
                             noise=0.01, seed=17, scene_points=120000)
-    glim = GlimTPU(async_mode=True)
-    n_warm = 16
-    imu_idx = 0
 
-    def feed(raw):
-        nonlocal imu_idx
-        while imu_idx < len(seq.imu) and seq.imu[imu_idx, 0] <= raw.stamp + 0.12:
-            r = seq.imu[imu_idx]
-            glim.insert_imu(r[0], r[1:4], r[4:7])
-            imu_idx += 1
-        while glim.workload() > 4:       # backpressure (bounded queues)
+    def run_pass(n_warm):
+        """Feed the whole sequence through a fresh pipeline; returns
+        (sustained_s, drain_s, n_timed)."""
+        import jax
+        glim = GlimTPU(async_mode=True)
+        imu_idx = 0
+
+        def feed(raw):
+            nonlocal imu_idx
+            while (imu_idx < len(seq.imu)
+                   and seq.imu[imu_idx, 0] <= raw.stamp + 0.12):
+                r = seq.imu[imu_idx]
+                glim.insert_imu(r[0], r[1:4], r[4:7])
+                imu_idx += 1
+            while glim.workload() > 4:   # backpressure (bounded queues)
+                time.sleep(0.005)
+                glim._pump()
+            glim.insert_frame(raw)
+
+        for raw in seq.scans[:n_warm]:
+            feed(raw)
+        while glim.workload() > 0:
+            time.sleep(0.02)
+            glim._pump()
+        odom = glim.odometry.odometry
+        if getattr(odom, "window", None) is not None:
+            jax.block_until_ready(odom.window.T)
+
+        t0 = time.perf_counter()
+        for raw in seq.scans[n_warm:]:
+            feed(raw)
+        # Sustained region ends when the workers have consumed the stream
+        # (queues empty), i.e. the pipeline kept pace with the feed.
+        while glim.workload() > 0:
             time.sleep(0.005)
             glim._pump()
-        glim.insert_frame(raw)
+        t1 = time.perf_counter()
+        glim.wait()                      # end-of-sequence flush/optimize
+        t2 = time.perf_counter()
+        return t1 - t0, t2 - t1, len(seq.scans) - n_warm
 
-    for raw in seq.scans[:n_warm]:
-        feed(raw)
-    # Drain the warmup: wait until every worker has consumed everything fed
-    # so far (compiles land here, not in the timed region).
-    while glim.workload() > 0:
-        time.sleep(0.02)
-        glim._pump()
-    odom = glim.odometry.odometry
-    if getattr(odom, "window", None) is not None:
-        jax.block_until_ready(odom.window.T)
-
-    t0 = time.perf_counter()
-    for raw in seq.scans[n_warm:]:
-        feed(raw)
-    # Sustained region ends when the workers have consumed the stream
-    # (queues empty), i.e. the pipeline kept pace with the feed.
-    while glim.workload() > 0:
-        time.sleep(0.005)
-        glim._pump()
-    t1 = time.perf_counter()
-    glim.wait()                          # end-of-sequence flush/optimize
-    t2 = time.perf_counter()
-    n_timed = len(seq.scans) - n_warm
-    return {"e2e_async_scans_per_sec": round(n_timed / (t1 - t0), 2),
+    # Pass 1 (untimed warm pass): the full sequence, INCLUDING the first
+    # submap refinement / global-mapping optimize / end-of-sequence flush —
+    # every jitted program variant the pipeline will ever hit lands in the
+    # process-wide jit cache here. All jits are module-level, so the fresh
+    # pipeline in pass 2 reuses them; pass 2 then measures pure steady-state
+    # execution over the identical (deterministic) workload.
+    run_pass(n_warm=16)
+    sustained_s, drain_s, n_timed = run_pass(n_warm=16)
+    return {"e2e_async_scans_per_sec": round(n_timed / sustained_s, 2),
             "e2e_async_scans_per_sec_with_drain":
-                round(n_timed / (t2 - t0), 2),
-            "e2e_async_drain_s": round(t2 - t1, 2),
+                round(n_timed / (sustained_s + drain_s), 2),
+            "e2e_async_drain_s": round(drain_s, 2),
             "e2e_async_n_scans": n_timed}
 
 
@@ -261,6 +271,7 @@ def bench_e2e_pipeline():
 
     seq = generate_sequence(duration=6.0, scan_hz=10.0, n_scan_points=20000,
                             noise=0.01, seed=13, scene_points=120000)
+    run_sequence(seq)   # warm pass: compiles land in the jit cache
     m, _gm, sps, extra = run_sequence(seq)
     return {"e2e_scans_per_sec": round(sps, 2),
             "e2e_ate_rmse_m": round(m.ate_rmse, 4),

@@ -328,6 +328,40 @@ def make_raycast_scene(kind: str = "room", extent: float = 30.0,
             x = -L * 0.8 + i * (L * 1.6 / 5)
             side = 1.0 if i % 2 == 0 else -1.0
             prims.append(("cyl", x, side * (w - 1.0), 0.4, 0.0, 2.5))
+    elif kind == "blocks":
+        # Open city-block scene: an unbounded ground plane plus pillars and
+        # wall segments scattered in two rings around the origin, leaving a
+        # street annulus (radius ~ extent*0.65..1.15) free for a loop
+        # trajectory. Unlike "room" there is NO enclosing wall: with a
+        # finite sensor range the estimator only ever sees LOCAL structure,
+        # so odometry drift accumulates over a lap and the loop closure in
+        # the global backend has real work to do.
+        E = extent
+        prims.append(("plane", np.array([0.0, 0.0, 1.0]), 0.0,
+                      np.array([-4 * E, -4 * E, -1.0]),
+                      np.array([4 * E, 4 * E, 1.0])))
+        for n_feat, r_lo, r_hi in [(18, 0.15 * E, 0.55 * E),
+                                   (22, 1.25 * E, 1.9 * E)]:
+            for _ in range(n_feat):
+                ang = rng.uniform(0, 2 * np.pi)
+                rad = rng.uniform(r_lo, r_hi)
+                c = np.array([rad * np.cos(ang), rad * np.sin(ang)])
+                if rng.uniform() < 0.55:
+                    prims.append(("cyl", c[0], c[1], rng.uniform(0.8, 2.5),
+                                  0.0, rng.uniform(3.0, 8.0)))
+                else:
+                    # Wall segment: zero-thickness bounded plane, axis-aligned
+                    # normal, random along-length 4..10 m, height 3..6 m.
+                    axis = int(rng.integers(0, 2))
+                    half = rng.uniform(2.0, 5.0)
+                    h = rng.uniform(3.0, 6.0)
+                    n = np.zeros(3)
+                    n[axis] = 1.0
+                    bmin = np.array([c[0], c[1], 0.0])
+                    bmax = np.array([c[0], c[1], h])
+                    bmin[1 - axis] -= half
+                    bmax[1 - axis] += half
+                    prims.append(("plane", n, c[axis], bmin, bmax))
     else:
         raise ValueError(f"unknown scene kind: {kind}")
     return prims

@@ -32,6 +32,12 @@ SEQUENCES = {
                      length=30.0, turn_radius=3.0),
     "aggressive": dict(path="figure8", scene="room", speed=4.0,
                        aggressive=1.0, extent=12.0),
+    # Large open loop: only LOCAL structure is visible (no enclosing room),
+    # so odometry drifts over the ~170 m lap and the implicit loop closure
+    # in global mapping must pull the ring back together — the sequence
+    # where the backend (not just the odometry) earns its ATE.
+    "city_loop": dict(path="circle", scene="blocks", speed=4.0, radius=27.0,
+                      extent=27.0, max_range=35.0, duration=47.0),
 }
 
 
@@ -145,10 +151,11 @@ def main(argv=None):
     duration = 6.0 if args.quick else args.duration
     rows = []
     for name in args.sequences.split(","):
-        kw = SEQUENCES[name]
-        print(f"[eval] generating {name} ({duration:.0f} s)...", flush=True)
+        kw = dict(SEQUENCES[name])
+        seq_duration = kw.pop("duration", duration)
+        print(f"[eval] generating {name} ({seq_duration:.0f} s)...", flush=True)
         seq = generate_raycast_sequence(
-            duration=duration, n_channels=args.channels,
+            duration=seq_duration, n_channels=args.channels,
             n_azimuth=args.azimuth, imu_noise=args.imu_noise,
             imu_bias=np.array([0.03, -0.02, 0.01, 0.002, -0.001, 0.001]),
             seed=sum(ord(c) for c in name) % 1000, **kw)
