@@ -97,10 +97,20 @@ class GlobalMappingParams:
 class GlobalMapping(GlobalMappingBase):
     def __init__(self, params: Optional[GlobalMappingParams] = None):
         self.params = params or GlobalMappingParams()
+        # Factor-type selection (reference :455-471): VGICP and VGICP_GPU
+        # are the two supported values; on TPU both run the same fused
+        # voxelized-GICP kernel (the _GPU suffix selects the CUDA build in
+        # the reference — the accelerated path is the only path here).
+        ft = self.params.registration_error_factor_type.upper()
+        if ft not in ("VGICP", "VGICP_GPU"):
+            logger.warning("unknown registration_error_factor_type (%s); "
+                           "using VGICP", ft)
+            self.params.registration_error_factor_type = "VGICP"
         self.submaps: List[SubMap] = []
         self.poses: List[np.ndarray] = []
         self.odom_poses: List[np.ndarray] = []
-        self.voxelmaps: List[vmx.GaussianVoxelMap] = []
+        # Per-submap multi-resolution maps: voxelmaps[i][lvl], [0] finest.
+        self.voxelmaps: List[list] = []
         # Per-submap matching clouds (budgeted stride sample, device).
         self._m_pts: List = []
         self._m_covs: List = []
@@ -174,8 +184,16 @@ class GlobalMapping(GlobalMappingBase):
             self.optimize()
 
     def _append_match_slice(self, submap: SubMap) -> None:
+        """Budgeted source-cloud slice for matching factors. The reference
+        subsamples each submap at ``randomsampling_rate`` before factor
+        creation (:245-257); here the rate composes with the fixed
+        ``matching_points`` device budget."""
         C = int(submap.frame.points.shape[0])
-        stride = max(1, C // self.params.matching_points)
+        p = self.params
+        budget = p.matching_points
+        if p.randomsampling_rate <= 0.99:
+            budget = min(budget, max(64, int(C * p.randomsampling_rate)))
+        stride = max(1, C // budget)
         pts = submap.frame.points[::stride]
         covs = submap.frame.covs
         if covs is None:
@@ -246,7 +264,13 @@ class GlobalMapping(GlobalMappingBase):
         logger.info("IMU endpoint factor %d -> %d (%d samples, dt %.2fs)",
                     i, j, n, t1 - t0)
 
-    def _build_voxelmap(self, submap: SubMap) -> vmx.GaussianVoxelMap:
+    def _build_voxelmap(self, submap: SubMap) -> list:
+        """Multi-resolution Gaussian voxelmaps for one submap: level L at
+        base_resolution * scaling_factor^L (reference :234-283 builds
+        ``submap_voxelmap_levels`` maps per submap; each level contributes
+        its own matching-cost factor — coarse levels widen the implicit
+        loop factors' convergence basin). Index 0 (finest) is the overlap /
+        gating map."""
         p = self.params
         # Adaptive resolution from median point distance (reference :234-283).
         from glim_tpu.ops.pointops import median_distance
@@ -256,12 +280,18 @@ class GlobalMapping(GlobalMappingBase):
                     0.0, 1.0)
         res = p.submap_voxel_resolution + t * (p.submap_voxel_resolution_max
                                                - p.submap_voxel_resolution)
-        vm = vmx.empty_gaussian_voxelmap(p.voxel_capacity, res)
         covs = submap.frame.covs
         if covs is None:
             covs = jnp.zeros(submap.frame.points.shape[:1] + (3, 3), jnp.float32)
-        return vmx.voxelmap_insert(vm, submap.frame.points, submap.frame.mask,
-                                   covs, jnp.int32(0))
+        maps = []
+        for lvl in range(max(p.submap_voxelmap_levels, 1)):
+            cap = max(p.voxel_capacity >> lvl, 4096)
+            vm = vmx.empty_gaussian_voxelmap(
+                cap, res * (p.submap_voxelmap_scaling_factor ** lvl))
+            maps.append(vmx.voxelmap_insert(vm, submap.frame.points,
+                                            submap.frame.mask, covs,
+                                            jnp.int32(0)))
+        return maps
 
     # -- matching factors (cached correspondences) --
 
@@ -272,12 +302,17 @@ class GlobalMapping(GlobalMappingBase):
             self._new_loop_since_opt = True
 
     def _lookup_factor(self, tgt: int, src: int) -> dict:
+        """Correspondence search of src's cloud against ALL of tgt's
+        voxelmap levels; each level becomes its own factor row in the
+        padded stack (reference :455-470 creates one VGICP factor per
+        level)."""
         T_rel = np.linalg.inv(self.poses[tgt]) @ self.poses[src]
-        mu, ct, hit = gicp.vgicp_lookup(
+        levels = [gicp.vgicp_lookup(
             jnp.asarray(self.poses[tgt], jnp.float32),
             jnp.asarray(self.poses[src], jnp.float32),
-            self._m_pts[src], self._m_mask[src], self.voxelmaps[tgt])
-        return dict(mu=mu, ct=ct, hit=hit, T_rel=T_rel)
+            self._m_pts[src], self._m_mask[src], vm)
+            for vm in self.voxelmaps[tgt]]
+        return dict(levels=levels, T_rel=T_rel)
 
     def _refresh_stale_factors(self) -> int:
         """Re-search correspondences for factors whose relative pose moved
@@ -309,7 +344,7 @@ class GlobalMapping(GlobalMappingBase):
             if dist > p.max_implicit_loop_distance:
                 continue
             T_rel = jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i], jnp.float32)
-            ov = float(vmx.voxelmap_overlap(self.voxelmaps[j], self._m_pts[i],
+            ov = float(vmx.voxelmap_overlap(self.voxelmaps[j][0], self._m_pts[i],
                                             self._m_mask[i], T_rel))
             if ov < p.min_implicit_loop_overlap:
                 continue
@@ -333,31 +368,35 @@ class GlobalMapping(GlobalMappingBase):
         B = len(self.between_factors)
         J = len(self.junction_states)
         A = len(self.gravity_anchors)
-        Sp, Fp, Bp, Jp, Ap = bucket(S), bucket(max(F, 1)), bucket(max(B, 1)), \
-            (bucket(J) if J else 0), (bucket(A) if A else 0)
+        L = max(p.submap_voxelmap_levels, 1)
+        Sp, Fp, Bp, Jp, Ap = bucket(S), bucket(max(F * L, 1)), \
+            bucket(max(B, 1)), (bucket(J) if J else 0), \
+            (bucket(A) if A else 0)
 
         poses = pad_stack([np.asarray(T, np.float32) for T in self.poses], Sp,
                           np.eye(4, dtype=np.float32))
         # Padded pose slots get identity; keep them sane via damping below.
-        f_tgt = pad_stack([np.int32(t) for t, _ in self.matching_factors], Fp,
-                          np.int32(0))
-        f_src = pad_stack([np.int32(s) for _, s in self.matching_factors], Fp,
-                          np.int32(0))
-        f_w = pad_stack([np.float32(1.0)] * F, Fp, np.float32(0.0))
+        # One factor row per (pair, voxelmap level): repeat the pair indices
+        # L times, each repeat carrying that level's cached correspondences.
+        f_tgt = pad_stack([np.int32(t) for t, _ in self.matching_factors
+                           for _ in range(L)], Fp, np.int32(0))
+        f_src = pad_stack([np.int32(s) for _, s in self.matching_factors
+                           for _ in range(L)], Fp, np.int32(0))
+        f_w = pad_stack([np.float32(1.0)] * (F * L), Fp, np.float32(0.0))
         M = int(self._m_pts[0].shape[0])
         zero_mu = np.zeros((M, 3), np.float32)
         zero_ct = np.zeros((M, 3, 3), np.float32)
         zero_hit = np.zeros((M,), bool)
-        caches = []
+        lvl_caches = []
         for (t, sidx) in self.matching_factors:
             c = self._f_cache.get((t, sidx))
             if c is None:     # externally added pair: search on demand
                 c = self._lookup_factor(t, sidx)
                 self._f_cache[(t, sidx)] = c
-            caches.append(c)
-        f_mu = pad_stack([c["mu"] for c in caches], Fp, zero_mu)
-        f_ct = pad_stack([c["ct"] for c in caches], Fp, zero_ct)
-        f_hit = pad_stack([c["hit"] for c in caches], Fp, zero_hit)
+            lvl_caches.extend(c["levels"][:L])
+        f_mu = pad_stack([mu for mu, _, _ in lvl_caches], Fp, zero_mu)
+        f_ct = pad_stack([ct for _, ct, _ in lvl_caches], Fp, zero_ct)
+        f_hit = pad_stack([hit for _, _, hit in lvl_caches], Fp, zero_hit)
         sm_pts = pad_stack(self._m_pts, Sp, zero_mu)
         sm_covs = pad_stack(self._m_covs, Sp, zero_ct)
 
@@ -506,7 +545,7 @@ class GlobalMapping(GlobalMappingBase):
                     continue
                 T_rel = jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i],
                                     jnp.float32)
-                ov = float(vmx.voxelmap_overlap(self.voxelmaps[j],
+                ov = float(vmx.voxelmap_overlap(self.voxelmaps[j][0],
                                                 self._m_pts[i],
                                                 self._m_mask[i], T_rel))
                 if ov >= max(min_overlap, 0.01):

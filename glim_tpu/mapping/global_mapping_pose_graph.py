@@ -243,6 +243,11 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         self.odom_poses: List[np.ndarray] = []     # raw odometry submap poses
         self.travel_dist: List[float] = []
         self.voxelmaps: List[vmx.GaussianVoxelMap] = []
+        # Per-submap registration slices, subsampled to subsample_target
+        # (reference :262-268 random_sampling of each target submap).
+        self._sub_pts: List = []
+        self._sub_covs: List = []
+        self._sub_mask: List = []
         # factor storage (host lists; padded device arrays built on demand)
         self.f_i: List[int] = []
         self.f_j: List[int] = []
@@ -297,10 +302,18 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         self.odom_poses.append(T_odom)
         self.poses.append(T_est)
 
-        vm = vmx.empty_gaussian_voxelmap(p.voxel_capacity, p.vgicp_voxel_resolution)
         covs = submap.frame.covs
         if covs is None:
             covs = jnp.zeros(submap.frame.points.shape[:1] + (3, 3), jnp.float32)
+        # Registration slice: subsample_target bounds the per-candidate
+        # registration/validation cost (reference :262-268).
+        C = int(submap.frame.points.shape[0])
+        stride = max(1, C // max(p.subsample_target, 64))
+        self._sub_pts.append(submap.frame.points[::stride])
+        self._sub_covs.append(covs[::stride])
+        self._sub_mask.append(submap.frame.mask[::stride])
+
+        vm = vmx.empty_gaussian_voxelmap(p.voxel_capacity, p.vgicp_voxel_resolution)
         vm = vmx.voxelmap_insert(vm, submap.frame.points, submap.frame.mask,
                                  covs, jnp.int32(0))
         self.voxelmaps.append(vm)
@@ -365,28 +378,21 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
 
     def _evaluate_candidate_impl(self, tgt: int, src: int, T_init: np.ndarray):
         p = self.params
-        sm = self.submaps[src]
-        covs = sm.frame.covs
-        if covs is None:
-            covs = jnp.zeros(sm.frame.points.shape[:1] + (3, 3), jnp.float32)
+        pts, covs, mask = (self._sub_pts[src], self._sub_covs[src],
+                           self._sub_mask[src])
         if p.registration_type.upper() == "GICP":
-            tgt_sm = self.submaps[tgt]
-            tgt_covs = tgt_sm.frame.covs
-            if tgt_covs is None:
-                tgt_covs = jnp.zeros(tgt_sm.frame.points.shape[:1] + (3, 3),
-                                     jnp.float32)
             T_rel, _ = _register_gicp_pair(
-                jnp.asarray(T_init, jnp.float32), sm.frame.points, covs,
-                sm.frame.mask, tgt_sm.frame.points, tgt_covs,
-                tgt_sm.frame.mask, jnp.float32(p.gicp_max_correspondence_dist),
+                jnp.asarray(T_init, jnp.float32), pts, covs, mask,
+                self._sub_pts[tgt], self._sub_covs[tgt], self._sub_mask[tgt],
+                jnp.float32(p.gicp_max_correspondence_dist),
                 p.registration_iterations)
         else:
             T_rel, _ = _register_vgicp_pair(
-                jnp.asarray(T_init, jnp.float32), sm.frame.points, covs,
-                sm.frame.mask, self.voxelmaps[tgt], p.registration_iterations)
+                jnp.asarray(T_init, jnp.float32), pts, covs, mask,
+                self.voxelmaps[tgt], p.registration_iterations)
         frac = float(gicp.inlier_fraction(
-            jnp.eye(4), T_rel, sm.frame.points, sm.frame.mask,
-            self.submaps[tgt].frame.points, self.submaps[tgt].frame.mask,
+            jnp.eye(4), T_rel, pts, mask,
+            self._sub_pts[tgt], self._sub_mask[tgt],
             jnp.float32(p.gicp_max_correspondence_dist)))
         if frac < p.min_inliear_fraction or not \
                 np.all(np.isfinite(np.asarray(T_rel))):

@@ -65,6 +65,10 @@ class SubMappingPassthrough(SubMappingBase):
         self.odom_frames: List[EstimationFrame] = []
         self.submap_queue: List[SubMap] = []
         self._map: Optional[vmx.PointVoxelMap] = None
+        # Occupied-voxel count after each keyframe insert; entry [2] is the
+        # reference's init_num_voxels for the adaptive emission check
+        # (sub_mapping_passthrough.cpp:117-124).
+        self._num_voxels_history: List[int] = []
         self._rng = jax.random.PRNGKey(11)
 
     def insert_frame(self, frame: EstimationFrame) -> None:
@@ -83,8 +87,19 @@ class SubMappingPassthrough(SubMappingBase):
         CB.on_new_keyframe(len(self.keyframes) - 1, frame)
 
         full = len(self.keyframes) >= p.max_num_keyframes
-        if self._map is not None and p.max_num_voxels > 0:
-            full = full or int(self._map.num_points()) >= p.max_num_voxels
+        if self._map is not None and (p.max_num_voxels > 0
+                                      or p.adaptive_max_num_voxels > 0):
+            nv = int(self._map.num_points())   # one point per sub-voxel
+            self._num_voxels_history.append(nv)
+            if p.max_num_voxels > 0:
+                full = full or nv >= p.max_num_voxels
+            # Adaptive growth budget: emit when the map outgrew the voxel
+            # count it had after its third keyframe by the configured factor
+            # (reference sub_mapping_passthrough.cpp:117-124,128).
+            if (p.adaptive_max_num_voxels > 0
+                    and len(self._num_voxels_history) >= 3):
+                full = full or nv >= (self._num_voxels_history[2]
+                                      * p.adaptive_max_num_voxels)
         if full:
             self._create_submap()
 
@@ -105,7 +120,15 @@ class SubMappingPassthrough(SubMappingBase):
     def _insert_keyframe(self, frame: EstimationFrame) -> None:
         p = self.params
         if self._map is None:
-            self._map = vmx.empty_point_voxelmap(p.point_capacity, p.min_dist_in_voxel)
+            # The per-cell point cap (reference FlatContainer
+            # max_num_points_in_cell) maps to a minimum point spacing here:
+            # one point per min_dist sub-voxel means a resolution-sized cell
+            # holds at most (resolution/min_dist)^3 points, so the cap
+            # tightens the effective spacing when it binds.
+            min_dist = max(p.min_dist_in_voxel,
+                           p.submap_voxel_resolution
+                           / max(float(p.max_num_points_in_voxel), 1.0) ** (1 / 3))
+            self._map = vmx.empty_point_voxelmap(p.point_capacity, min_dist)
         batch = frame.frame
         if batch is not None and batch.points is not None:
             T = jnp.asarray(frame.T_world_sensor(), jnp.float32)
@@ -143,6 +166,7 @@ class SubMappingPassthrough(SubMappingBase):
         self.keyframes = []
         self.odom_frames = []
         self._map = None
+        self._num_voxels_history = []
         self.submap_queue.append(submap)
         CB.on_new_submap(submap)
         logger.info("passthrough submap %d created (%d keyframes)", submap.id, K)

@@ -213,7 +213,8 @@ class OdometryEstimationCPU(OdometryEstimationBase):
         if self.use_vgicp:
             model = vmx.empty_gaussian_voxelmap(p.voxel_capacity, p.vgicp_resolution)
         else:
-            model = vmx.empty_point_voxelmap(p.model_capacity, p.ivox_min_dist)
+            model = vmx.empty_point_voxelmap(p.model_capacity, p.ivox_min_dist,
+                                             lru_horizon=p.lru_thresh)
         self.state = OdomDeviceState(T=jnp.eye(4), twist=jnp.zeros(6),
                                      step=jnp.int32(0),
                                      rng=jax.random.PRNGKey(1), model=model)

@@ -82,6 +82,10 @@ class OdometryEstimationCPUIMU(OdometryEstimationIMU):
         p = self._cpu_params
         self.use_vgicp = p.registration_type.upper().startswith("VGICP")
         self._matching = "vgicp" if self.use_vgicp else "gicp"
+        # The cpu module's target-model resolution comes from its own
+        # ivox/vgicp knobs (as in the reference cpu module, which has no
+        # adaptive voxel resolution) — disable the GPU-module adaptation.
+        self._adaptive_resolution = False
         self._max_corr_dist = p.ivox_resolution * 2.0
         self._d_max_corr_dist = jnp.float32(self._max_corr_dist)
         self._rng = jax.random.PRNGKey(7)

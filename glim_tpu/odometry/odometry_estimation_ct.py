@@ -201,7 +201,9 @@ class OdometryEstimationCT(OdometryEstimationBase):
     def __init__(self, params: Optional[OdometryEstimationCTParams] = None):
         self.params = params or OdometryEstimationCTParams()
         p = self.params
-        self.model = vmx.empty_point_voxelmap(p.model_capacity, p.ivox_min_points_dist)
+        self.model = vmx.empty_point_voxelmap(p.model_capacity,
+                                              p.ivox_min_points_dist,
+                                              lru_horizon=p.ivox_lru_thresh)
         self.T_prev_end = jnp.eye(4)
         self.twist = jnp.zeros(6)
         self.frame_count = 0

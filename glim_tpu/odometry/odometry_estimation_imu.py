@@ -228,6 +228,30 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         """First-frame model seeding: first keyframe = first frame
         (reference seeds `keyframes` with the first estimation frame)."""
         p = self.params
+        # Adaptive voxel resolution from the median point distance
+        # (reference odometry_estimation_gpu.cpp:89-93). The reference
+        # re-evaluates it per frame because each frame carries its own
+        # voxelmaps; here the accumulated model map's resolution is decided
+        # ONCE, from the first frame — the knob exists to match the map
+        # scale to the environment (indoor vs outdoor), which the first
+        # scan already reveals.
+        if p.voxel_resolution_max > p.voxel_resolution and \
+                getattr(self, "_adaptive_resolution", True):
+            from glim_tpu.ops.pointops import median_distance
+            med = float(median_distance(frame.device_points,
+                                        frame.device_mask))
+            t = float(np.clip((med - p.voxel_resolution_dmin)
+                              / max(p.voxel_resolution_dmax
+                                    - p.voxel_resolution_dmin, 1e-6),
+                              0.0, 1.0))
+            base = p.voxel_resolution + t * (p.voxel_resolution_max
+                                             - p.voxel_resolution)
+            if abs(base - self._model_res[0]) > 1e-6:
+                self._model_res = [base * (p.voxelmap_scaling_factor ** lvl)
+                                   for lvl in range(max(p.voxelmap_levels, 1))]
+                self.model = self._make_model()
+                logger.info("adaptive voxel resolution: median dist %.2f m "
+                            "-> base resolution %.3f m", med, base)
         self.keyframes = KeyframeManager(
             strategy=p.keyframe_update_strategy,
             max_num_keyframes=p.max_num_keyframes,
@@ -312,7 +336,8 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             self._last_kf_pose_dev(), self._d_max_corr_dist,
             W=self.W, outer_iters=p.outer_iterations,
             inner_iters=p.inner_iterations,
-            compute_covs=self._covs_requested, matching=self._matching)
+            compute_covs=self._covs_requested, matching=self._matching,
+            full_connection=p.full_connection_window_size)
         CB.on_smoother_update(self)
 
         # Marginalization bookkeeping: mirrors the device-side eviction.

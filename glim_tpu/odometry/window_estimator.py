@@ -244,7 +244,8 @@ def _build_pair_system(T_c, v_c, b_c, valid, pre_ring, j,
 
 
 @partial(jax.jit, static_argnames=("W", "outer_iters", "inner_iters",
-                                   "compute_covs", "matching"),
+                                   "compute_covs", "matching",
+                                   "full_connection"),
          donate_argnums=(0,))
 def window_scan_step(win: WindowState, vms,
                      # raw scan (full resolution, lidar frame, NOT deskewed)
@@ -263,7 +264,8 @@ def window_scan_step(win: WindowState, vms,
                      matching_weight, T_last_keyframe,
                      max_corr_dist=jnp.float32(2.0),
                      *, W: int, outer_iters: int = 2, inner_iters: int = 2,
-                     compute_covs: bool = False, matching: str = "vgicp"):
+                     compute_covs: bool = False, matching: str = "vgicp",
+                     full_connection: int = 2):
     """One fused odometry step. Returns (win', outputs dict).
 
     The model update is NOT part of this program (the host decides keyframe
@@ -395,34 +397,46 @@ def window_scan_step(win: WindowState, vms,
 
     prior_idx = jnp.argmax(valid_r)  # oldest valid slot (post-roll)
 
-    # --- 3b. round-robin relinearization of ONE older state against the
-    # current map (bounds frozen-system staleness at ~W scans) ---
-    n_old = jnp.maximum(jnp.sum(valid_r) - 1, 1)
-    k_rr = W - 1 - 1 - (win.step % n_old)      # walks the older valid slots
-    T_wl_rr = jnp.take(T_r, k_rr, axis=0) @ T_imu_lidar
-    pts_rr = jnp.take(pts_r, k_rr, axis=0)
-    covs_rr = jnp.take(covs_r, k_rr, axis=0)
-    mask_rr = jnp.take(mask_r, k_rr, axis=0) & jnp.take(valid_r, k_rr)
-    Hrr = jnp.zeros((6, 6))
-    grr = jnp.zeros(6)
-    err_rr = jnp.zeros(())
-    for mu, Ct, hit in lookup_all(T_wl_rr, pts_rr, mask_rr):
-        sys_rr = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl_rr, pts_rr,
-                                             covs_rr, mu, Ct, hit)
-        Hrr = Hrr + sys_rr.H_ss
-        grr = grr + sys_rr.b_s
-        err_rr = err_rr + sys_rr.error
-    w_rr = OLD_SUBSAMPLE * matching_weight
-    Hrr = w_rr * (Ad.T @ Hrr @ Ad)
-    grr = w_rr * (Ad.T @ grr)
-    err_rr = w_rr * err_rr
-    do_rr = jnp.take(valid_r, k_rr) & (k_rr < W - 1)
-    sel = (jnp.arange(W) == k_rr) & do_rr
-    mH_r = jnp.where(sel[:, None, None], Hrr, mH_r)
-    mg_r = jnp.where(sel[:, None], grr, mg_r)
-    me_r = jnp.where(sel, err_rr, me_r)
-    mT_r = jnp.where(sel[:, None, None], jnp.take(T_r, k_rr, axis=0), mT_r)
-    mv_r = jnp.where(sel, True, mv_r)
+    # --- 3b. per-scan relinearization of older states against the current
+    # map. Two tiers (both bounded-cost, both on the 1/OLD_SUBSAMPLE frame):
+    #   * the newest `full_connection - 1` older states refresh EVERY scan —
+    #     the analogue of the reference's full_connection_window_size binary
+    #     factors whose Jacobians touch the recent poses at every update
+    #     (odometry_estimation_gpu.cpp:175-184);
+    #   * ONE of the remaining states refreshes round-robin, bounding
+    #     frozen-system staleness at ~W scans (iSAM2's threshold sweep). ---
+    def _refresh_slot(k, bufs):
+        mH, mg, me, mT, mv = bufs
+        T_wl_k = jnp.take(T_r, k, axis=0) @ T_imu_lidar
+        pts_k = jnp.take(pts_r, k, axis=0)
+        covs_k = jnp.take(covs_r, k, axis=0)
+        mask_k = jnp.take(mask_r, k, axis=0) & jnp.take(valid_r, k)
+        Hk = jnp.zeros((6, 6))
+        gk = jnp.zeros(6)
+        ek = jnp.zeros(())
+        for mu, Ct, hit in lookup_all(T_wl_k, pts_k, mask_k):
+            sys_k = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl_k, pts_k,
+                                                covs_k, mu, Ct, hit)
+            Hk = Hk + sys_k.H_ss
+            gk = gk + sys_k.b_s
+            ek = ek + sys_k.error
+        w_k = OLD_SUBSAMPLE * matching_weight
+        do = jnp.take(valid_r, k) & (k < W - 1) & (k >= 0)
+        sel = (jnp.arange(W) == k) & do
+        mH = jnp.where(sel[:, None, None], w_k * (Ad.T @ Hk @ Ad), mH)
+        mg = jnp.where(sel[:, None], w_k * (Ad.T @ gk), mg)
+        me = jnp.where(sel, w_k * ek, me)
+        mT = jnp.where(sel[:, None, None], jnp.take(T_r, k, axis=0), mT)
+        mv = jnp.where(sel, True, mv)
+        return mH, mg, me, mT, mv
+
+    bufs = (mH_r, mg_r, me_r, mT_r, mv_r)
+    fc_extra = min(max(full_connection - 1, 0), W - 2)
+    for j in range(fc_extra):
+        bufs = _refresh_slot(jnp.int32(W - 2 - j), bufs)
+    n_rest = jnp.maximum(jnp.sum(valid_r) - 1 - fc_extra, 1)
+    k_rr = W - 2 - fc_extra - (win.step % n_rest)
+    mH_r, mg_r, me_r, mT_r, mv_r = _refresh_slot(k_rr, bufs)
 
     # --- 4. batch GN over the window ---
     rows30 = (jnp.arange(W - 1)[:, None] * STATE_DIM

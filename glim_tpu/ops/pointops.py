@@ -125,9 +125,9 @@ def voxelgrid_sampling(points: jnp.ndarray, mask: jnp.ndarray, resolution,
     return out_pts, out_mask
 
 
-@partial(jax.jit, static_argnames=("target",))
+@jax.jit
 def randomgrid_sampling(points: jnp.ndarray, mask: jnp.ndarray, resolution,
-                        target: int, rng: jax.Array
+                        target, rng: jax.Array
                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Voxel-bucketed random sampling to ~``target`` points.
 

@@ -275,6 +275,10 @@ class PointVoxelMap:
     mask: jnp.ndarray     # (M,) bool
     age: jnp.ndarray      # (M,) int32
     min_dist: jnp.ndarray  # () f32 — sub-voxel size (one point kept per cell)
+    # () int32 — entries untouched for this many steps expire on the next
+    # insert (iVox lru_thresh horizon; reference odometry_estimation_cpu.cpp
+    # iVox lru settings). Default effectively infinite.
+    lru_horizon: jnp.ndarray = None
 
     @property
     def capacity(self) -> int:
@@ -284,13 +288,15 @@ class PointVoxelMap:
         return jnp.sum(self.mask)
 
 
-def empty_point_voxelmap(capacity: int, min_dist) -> PointVoxelMap:
+def empty_point_voxelmap(capacity: int, min_dist,
+                         lru_horizon: int = 2**30) -> PointVoxelMap:
     return PointVoxelMap(
         points=jnp.zeros((capacity, 3), jnp.float32),
         covs=jnp.zeros((capacity, 3, 3), jnp.float32),
         mask=jnp.zeros((capacity,), bool),
         age=jnp.zeros((capacity,), jnp.int32),
         min_dist=jnp.asarray(min_dist, jnp.float32),
+        lru_horizon=jnp.asarray(lru_horizon, jnp.int32),
     )
 
 
@@ -337,6 +343,9 @@ def pointmap_insert(pm: PointVoxelMap, points: jnp.ndarray, mask: jnp.ndarray,
         jnp.where(valid_s, age_s_raw, -1),
         jnp.where(valid_s, seg_id, n_seg - 1), num_segments=n_seg)
     age_s = jnp.where(valid_s, seg_max_age[seg_id], -1)
+    # LRU horizon: sub-voxels not touched within lru_horizon steps expire
+    # (iVox lru_thresh semantics), independent of the capacity eviction.
+    first = first & (age_s >= step.astype(jnp.int32) - pm.lru_horizon)
     score = jnp.where(first, age_s, jnp.iinfo(jnp.int32).min)
     _, keep = jax.lax.top_k(score, M)
     new_mask = first[keep]
@@ -346,4 +355,5 @@ def pointmap_insert(pm: PointVoxelMap, points: jnp.ndarray, mask: jnp.ndarray,
         mask=new_mask,
         age=jnp.where(new_mask, age_s[keep], 0),
         min_dist=pm.min_dist,
+        lru_horizon=pm.lru_horizon,
     )

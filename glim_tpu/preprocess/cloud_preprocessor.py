@@ -80,13 +80,13 @@ class CloudPreprocessorParams:
         return p
 
 
-@partial(jax.jit, static_argnames=("out_cap", "use_random_grid", "target", "k",
+@partial(jax.jit, static_argnames=("out_cap", "use_random_grid", "k",
                                    "enable_cropbox", "enable_outlier_removal",
-                                   "exact_knn", "knn_window"))
+                                   "outlier_k", "exact_knn", "knn_window"))
 def _preprocess_device(packed, meta, pt_scale, rng, *,
-                       out_cap: int, use_random_grid: bool, target: int, k: int,
+                       out_cap: int, use_random_grid: bool, k: int,
                        enable_cropbox: bool, enable_outlier_removal: bool,
-                       exact_knn: bool, knn_window: int,
+                       outlier_k: int, exact_knn: bool, knn_window: int,
                        near, far, resolution, bbox_T, bbox_min, bbox_max,
                        outlier_std_mul):
     """The fused device pipeline. Returns (points, times, mask, neighbors,
@@ -95,13 +95,18 @@ def _preprocess_device(packed, meta, pt_scale, rng, *,
     ``packed`` is the quantized upload: (C, 4) int16 [x, y, z, t] with
     points at pt_scale meters/LSB and times at t_scale seconds/LSB — 8 bytes
     per point over the host->device link instead of 20. ``meta`` is the only
-    other per-scan transfer: (2,) f32 [n_valid, t_scale]. The RNG key stays
-    device-resident (split in here, new key returned) so per-scan dispatch
-    costs one upload + one small upload + one program on remoted chips.
+    other per-scan transfer: (3,) f32 [n_valid, t_scale, sample_target] —
+    the per-scan sample target rides in it as a TRACED value (the reference
+    derives it as target>0 ? target : rate*size per scan,
+    cloud_preprocessor.cpp:104-106; a traced target means rate-mode never
+    recompiles). The RNG key stays device-resident (split in here, new key
+    returned) so per-scan dispatch costs one upload + one small upload +
+    one program on remoted chips.
     """
     C = packed.shape[0]
     n_valid = meta[0].astype(jnp.int32)
     t_scale = meta[1]
+    target = meta[2].astype(jnp.int32)
     rng, rng_next = jax.random.split(rng)
     points = packed[:, :3].astype(jnp.float32) * pt_scale
     times = packed[:, 3].astype(jnp.float32) * t_scale
@@ -138,7 +143,11 @@ def _preprocess_device(packed, meta, pt_scale, rng, *,
         neighbors, sq_dists = knn.knn_banded(pts_d, mask_d, k, window=knn_window,
                                              cell=2.0 * resolution)
     if enable_outlier_removal:
-        mask_d = covariance.outlier_mask(sq_dists, mask_d, outlier_std_mul)
+        # kNN columns are distance-sorted (lax.top_k): the first outlier_k
+        # are exactly the outlier-removal neighborhood (reference uses a
+        # separate outlier_removal_k kNN search, cloud_preprocessor.cpp:166).
+        mask_d = covariance.outlier_mask(sq_dists[:, :outlier_k], mask_d,
+                                         outlier_std_mul)
 
     return pts_d, times_d, mask_d, neighbors, rng_next
 
@@ -151,7 +160,18 @@ class CloudPreprocessor:
         self.params = params or CloudPreprocessorParams()
         self._rng = jax.random.PRNGKey(seed)
         tgt = self.params.random_downsample_target
-        self.out_capacity = capacity_for(max(tgt, 512))
+        # target <= 0 selects rate mode (reference default: target=0,
+        # rate=0.3, cloud_preprocessor.cpp:32-33,104-106); the output
+        # capacity is then input-size dependent and chosen per scan.
+        self.out_capacity = capacity_for(max(tgt, 512)) if tgt > 0 else None
+        if (self.params.enable_outlier_removal
+                and self.params.outlier_removal_k
+                > self.params.k_correspondences):
+            logger.warning(
+                "outlier_removal_k=%d exceeds k_correspondences=%d; the "
+                "outlier test reuses the correspondence kNN graph and is "
+                "clamped to %d neighbors", self.params.outlier_removal_k,
+                self.params.k_correspondences, self.params.k_correspondences)
         # Constant device args, uploaded once (every host->device transfer
         # costs ~2 ms of tunnel latency on remoted chips).
         p = self.params
@@ -196,16 +216,25 @@ class CloudPreprocessor:
                                   raw.times if scan_duration > 0.0 else None,
                                   cap, pt_scale, t_scale)
 
+        # Per-scan sample target (reference cloud_preprocessor.cpp:104-106:
+        # rate-mode keeps downsample_rate of the raw scan).
+        if p.random_downsample_target > 0:
+            target = p.random_downsample_target
+            out_cap = self.out_capacity
+        else:
+            target = max(512, int(n * p.random_downsample_rate))
+            out_cap = capacity_for(target)
+
         dev = jax.device_put(packed)
-        meta = jnp.asarray(np.array([n, t_scale], np.float32))
+        meta = jnp.asarray(np.array([n, t_scale, target], np.float32))
         pts_d, times_d, mask_d, neighbors, self._rng = _preprocess_device(
             dev, meta, self._d_const["pt_scale"], self._rng,
-            out_cap=self.out_capacity,
+            out_cap=out_cap,
             use_random_grid=p.use_random_grid_downsampling,
-            target=p.random_downsample_target,
             k=p.k_correspondences,
             enable_cropbox=p.enable_cropbox_filter,
             enable_outlier_removal=p.enable_outlier_removal,
+            outlier_k=min(p.outlier_removal_k, p.k_correspondences),
             exact_knn=p.exact_knn,
             knn_window=p.knn_window,
             near=self._d_const["near"],

@@ -1,0 +1,207 @@
+"""Behavioral tests for config knobs that were parsed-but-ignored in round 1.
+
+Every reference-named parameter must CHANGE BEHAVIOR (VERDICT.md round-1
+"silent config no-ops" finding): rate-mode downsampling, outlier_removal_k,
+iVox lru_thresh horizons, passthrough voxel budgets, global-mapping
+multi-level factor stacks, randomsampling_rate, and the odometry
+full-connection window.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glim_tpu.ops import voxelmap as vmx
+from glim_tpu.preprocess.cloud_preprocessor import (CloudPreprocessor,
+                                                    CloudPreprocessorParams)
+from glim_tpu.types import RawPoints
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+def _raw(rng, n):
+    pts = rng.uniform(-20, 20, (n, 3))
+    times = np.sort(rng.uniform(0, 0.1, n))
+    return RawPoints(stamp=1.0, points=pts, times=times)
+
+
+class TestPreprocessRateMode:
+    def test_rate_mode_scales_with_input(self, rng):
+        """target<=0 selects rate-mode sampling (reference
+        cloud_preprocessor.cpp:104-106): kept count ~ rate * scan size."""
+        pp = CloudPreprocessor(CloudPreprocessorParams(
+            random_downsample_target=0, random_downsample_rate=0.3))
+        n_big = int(np.sum(np.asarray(pp.preprocess(_raw(rng, 20000)).device_mask)))
+        n_small = int(np.sum(np.asarray(pp.preprocess(_raw(rng, 6000)).device_mask)))
+        assert n_big <= 6000 and n_big > 3000
+        assert n_small <= 1800 and n_small > 900
+        assert n_big > 2 * n_small
+
+    def test_outlier_k_changes_mask(self, rng):
+        """outlier_removal_k selects the neighborhood size of the statistical
+        outlier test (reference cloud_preprocessor.cpp:166): isolated tight
+        triplets are inliers to a 3-neighbor test (self + 2 points 1 cm
+        away) but outliers to a 10-neighbor test (neighbors 3..9 are tens of
+        meters away)."""
+        base = rng.uniform(-5, 5, (3000, 3))          # dense bulk
+        trip_centers = rng.uniform(40, 90, (30, 3))    # isolated triplets
+        trips = (trip_centers[:, None, :]
+                 + rng.normal(0, 0.005, (30, 3, 3))).reshape(-1, 3)
+        pts = np.concatenate([base, trips])
+        raw = RawPoints(stamp=0.0, points=pts,
+                        times=np.sort(rng.uniform(0, 0.1, len(pts))))
+        kept = {}
+        for k in (3, 10):
+            pp = CloudPreprocessor(CloudPreprocessorParams(
+                random_downsample_target=8192, downsample_resolution=0.02,
+                distance_far_thresh=1000.0, enable_outlier_removal=True,
+                outlier_removal_k=k, outlier_std_mul_factor=1.0,
+                k_correspondences=10, exact_knn=True))
+            f = pp.preprocess(raw)
+            m = np.asarray(f.device_mask)
+            p = np.asarray(f.device_points)
+            kept[k] = int(np.sum(m & (np.linalg.norm(p, axis=1) > 30.0)))
+        assert kept[3] > kept[10], (
+            f"triplets survive small-k but not large-k: {kept}")
+
+
+class TestPointMapLRUHorizon:
+    def test_untouched_entries_expire(self, rng):
+        pm = vmx.empty_point_voxelmap(512, 0.1, lru_horizon=2)
+        old = np.zeros((64, 3), np.float32)
+        old[:50] = rng.uniform(0, 5, (50, 3))
+        mask = np.zeros(64, bool)
+        mask[:50] = True
+        covs = np.zeros((64, 3, 3), np.float32)
+        pm = vmx.pointmap_insert(pm, jnp.asarray(old), jnp.asarray(mask),
+                                 jnp.asarray(covs), jnp.int32(0))
+        assert int(pm.num_points()) > 0
+        # Insert far-away points at steps 1..4; the step-0 region is never
+        # touched again and must expire once step - age > horizon.
+        for s in range(1, 5):
+            new = np.zeros((64, 3), np.float32)
+            new[:50] = rng.uniform(0, 5, (50, 3)) + 1000.0
+            pm = vmx.pointmap_insert(pm, jnp.asarray(new), jnp.asarray(mask),
+                                     jnp.asarray(covs), jnp.int32(s))
+        surv = np.asarray(pm.points)[np.asarray(pm.mask)]
+        assert np.all(surv[:, 0] > 500.0), "expired region still in the map"
+
+    def test_infinite_horizon_keeps(self, rng):
+        pm = vmx.empty_point_voxelmap(512, 0.1)
+        old = np.zeros((64, 3), np.float32)
+        old[:50] = rng.uniform(0, 5, (50, 3))
+        mask = np.zeros(64, bool)
+        mask[:50] = True
+        covs = np.zeros((64, 3, 3), np.float32)
+        pm = vmx.pointmap_insert(pm, jnp.asarray(old), jnp.asarray(mask),
+                                 jnp.asarray(covs), jnp.int32(0))
+        n0 = int(pm.num_points())
+        for s in range(1, 5):
+            new = np.zeros((64, 3), np.float32)
+            new[:50] = rng.uniform(0, 5, (50, 3)) + 1000.0
+            pm = vmx.pointmap_insert(pm, jnp.asarray(new), jnp.asarray(mask),
+                                     jnp.asarray(covs), jnp.int32(s))
+        surv = np.asarray(pm.points)[np.asarray(pm.mask)]
+        assert np.sum(surv[:, 0] < 500.0) == n0
+
+
+class TestGlobalMappingLevels:
+    def test_multilevel_factor_stack(self, rng):
+        """submap_voxelmap_levels multiplies the padded factor rows and the
+        optimization still converges (one factor per level, reference
+        global_mapping.cpp:455-470)."""
+        from glim_tpu.mapping.global_mapping import (GlobalMapping,
+                                                     GlobalMappingParams)
+        from glim_tpu.types import PointBatch, SubMap
+
+        def make_submap(sid, offset):
+            pts = rng.uniform(-8, 8, (1024, 3)).astype(np.float32)
+            T = np.eye(4)
+            T[:3, 3] = offset
+            return SubMap(id=sid, T_world_origin=T,
+                          T_origin_endpoint_L=np.eye(4),
+                          T_origin_endpoint_R=np.eye(4),
+                          frame=PointBatch(points=jnp.asarray(pts),
+                                           mask=jnp.ones(1024, bool)),
+                          frames=[], odom_frames=[])
+
+        gm = GlobalMapping(GlobalMappingParams(
+            enable_imu=False, voxel_capacity=8192,
+            submap_voxelmap_levels=3, submap_voxelmap_scaling_factor=2.0))
+        for i in range(3):
+            gm.insert_submap(make_submap(i, np.array([2.0 * i, 0.0, 0.0])))
+        assert all(len(vm) == 3 for vm in gm.voxelmaps)
+        assert all(len(c["levels"]) == 3 for c in gm._f_cache.values())
+        assert all(np.all(np.isfinite(T)) for T in gm.poses)
+
+    def test_randomsampling_rate_shrinks_slice(self, rng):
+        from glim_tpu.mapping.global_mapping import (GlobalMapping,
+                                                     GlobalMappingParams)
+        from glim_tpu.types import PointBatch, SubMap
+
+        pts = rng.uniform(-8, 8, (4096, 3)).astype(np.float32)
+        sm = SubMap(id=0, T_world_origin=np.eye(4),
+                    T_origin_endpoint_L=np.eye(4),
+                    T_origin_endpoint_R=np.eye(4),
+                    frame=PointBatch(points=jnp.asarray(pts),
+                                     mask=jnp.ones(4096, bool)),
+                    frames=[], odom_frames=[])
+        full = GlobalMapping(GlobalMappingParams(enable_imu=False,
+                                                 randomsampling_rate=1.0))
+        sub = GlobalMapping(GlobalMappingParams(enable_imu=False,
+                                                randomsampling_rate=0.1))
+        full.insert_submap(sm)
+        sub.insert_submap(sm)
+        assert sub._m_pts[0].shape[0] < full._m_pts[0].shape[0]
+
+
+class TestPassthroughBudgets:
+    def _frame(self, rng, fid, offset):
+        from glim_tpu.types import EstimationFrame, PointBatch
+        pts = rng.uniform(-5, 5, (512, 3)).astype(np.float32)
+        T = np.eye(4)
+        T[:3, 3] = offset
+        fr = EstimationFrame(id=fid, stamp=float(fid) * 0.5)
+        fr.T_world_lidar = T
+        fr.T_world_imu = T
+        fr.frame = PointBatch(points=jnp.asarray(pts),
+                              mask=jnp.ones(512, bool))
+        return fr
+
+    def test_adaptive_voxel_emission(self, rng):
+        from glim_tpu.mapping.sub_mapping_passthrough import (
+            SubMappingPassthrough, SubMappingPassthroughParams)
+        # A tight adaptive factor forces emission long before
+        # max_num_keyframes as the map keeps growing into new space.
+        sub = SubMappingPassthrough(SubMappingPassthroughParams(
+            max_num_keyframes=100, adaptive_max_num_voxels=1.5,
+            keyframe_update_interval_trans=0.01,
+            submap_target_num_points=2048, point_capacity=16384))
+        emitted = []
+        for i in range(30):
+            sub.insert_frame(self._frame(rng, i, np.array([4.0 * i, 0, 0])))
+            emitted += sub.get_submaps()
+            if emitted:
+                break
+        assert emitted, "adaptive voxel budget never triggered emission"
+        assert len(emitted[0].frames) < 100
+
+    def test_points_in_voxel_cap_raises_spacing(self):
+        from glim_tpu.mapping.sub_mapping_passthrough import (
+            SubMappingPassthrough, SubMappingPassthroughParams)
+        import numpy as _np
+        rng = _np.random.default_rng(0)
+        dense = SubMappingPassthrough(SubMappingPassthroughParams(
+            max_num_points_in_voxel=1000, min_dist_in_voxel=0.05,
+            submap_voxel_resolution=1.0))
+        sparse = SubMappingPassthrough(SubMappingPassthroughParams(
+            max_num_points_in_voxel=8, min_dist_in_voxel=0.05,
+            submap_voxel_resolution=1.0))
+        fr_d = TestPassthroughBudgets._frame(self, rng, 0, _np.zeros(3))
+        fr_s = TestPassthroughBudgets._frame(self, rng, 0, _np.zeros(3))
+        dense.insert_frame(fr_d)
+        sparse.insert_frame(fr_s)
+        assert int(sparse._map.num_points()) < int(dense._map.num_points())
