@@ -1,0 +1,159 @@
+"""Global-mapping backend scaling stress.
+
+The reference's backend runs for hours and accumulates hundreds of submaps
+(`/root/reference/src/glim/mapping/global_mapping.cpp` — iSAM2 incremental
+updates keep per-insert cost bounded). The TPU backend replaces iSAM2 with
+batched damped-GN over padded factor stacks (`mapping/global_factors.py`);
+this harness verifies the per-insert and per-optimize wall stay ~flat as
+the map grows (padding buckets make recompiles logarithmic in map size and
+the device program is one fused dispatch regardless of factor count).
+
+Scene: a drifting lap around a large ring of structured blocks. Each submap
+observes geometry within sensor range; neighbouring submaps share structure
+(implicit loop factors between consecutive + lap-closure pairs).
+
+Usage:
+    python -m glim_tpu.tools.backend_stress --n 128 [--interval 4]
+
+Prints one table row per checkpoint: submaps, matching factors, mean insert
+wall since the last checkpoint, mean optimize wall, last-optimize wall.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from glim_tpu.mapping.global_mapping import GlobalMapping, GlobalMappingParams
+from glim_tpu.ops import lie_np
+from glim_tpu.types import PointBatch, SubMap
+from glim_tpu.utils import profiling
+
+
+def ring_world(rng: np.random.Generator, radius: float, n_blocks: int):
+    """Structured blocks (two walls + pillars each) around a ring."""
+    pts = []
+    for k in range(n_blocks):
+        ang = 2 * np.pi * k / n_blocks + rng.uniform(-0.1, 0.1)
+        cx, cy = radius * np.cos(ang), radius * np.sin(ang)
+        yaw = rng.uniform(0, np.pi)
+        c, s = np.cos(yaw), np.sin(yaw)
+        for _ in range(2):  # two walls per block
+            off = rng.uniform(-6, 6, 2)
+            u = rng.uniform(-4, 4, 120)
+            z = rng.uniform(0, 4, 120)
+            wall = np.stack([u * c - off[0] * s, u * s + off[0] * c, z], 1)
+            wall[:, 0] += cx + off[1] * s
+            wall[:, 1] += cy + off[1] * c
+            pts.append(wall)
+            yaw += np.pi / 2  # perpendicular second wall
+            c, s = np.cos(yaw), np.sin(yaw)
+        for _ in range(3):  # pillars
+            p0 = np.array([cx, cy]) + rng.uniform(-8, 8, 2)
+            z = rng.uniform(0, 4, 40)
+            pts.append(np.stack([np.full(40, p0[0]) + rng.normal(0, 0.05, 40),
+                                 np.full(40, p0[1]) + rng.normal(0, 0.05, 40),
+                                 z], 1))
+    return np.concatenate(pts)
+
+
+def make_submap(rng, sid, world, T_true, sensor_range=20.0, cap=2048):
+    d = np.linalg.norm(world[:, :2] - T_true[:2, 3], axis=1)
+    vis = world[d < sensor_range]
+    if len(vis) > cap:
+        vis = vis[rng.choice(len(vis), cap, replace=False)]
+    Ti = np.linalg.inv(T_true)
+    local = (Ti[:3, :3] @ vis.T).T + Ti[:3, 3]
+    pts = np.zeros((cap, 3), np.float32)
+    pts[:len(local)] = local + rng.normal(0, 0.005, local.shape)
+    mask = np.zeros(cap, bool)
+    mask[:len(local)] = True
+    covs = np.broadcast_to(np.eye(3, dtype=np.float32) * 0.02,
+                           (cap, 3, 3)).copy()
+    return SubMap(id=sid, T_world_origin=np.eye(4),
+                  frame=PointBatch(points=jnp.asarray(pts),
+                                   mask=jnp.asarray(mask),
+                                   covs=jnp.asarray(covs)))
+
+
+def run(n_submaps: int, interval: int, seed: int = 5, step: float = 6.0,
+        drift_rot: float = 2e-4, drift_trans: float = 3e-3):
+    import logging
+    logging.getLogger("glim_tpu.prof").setLevel(logging.WARNING)
+    rng = np.random.default_rng(seed)
+    radius = n_submaps * step / (2 * np.pi)
+    world = ring_world(rng, radius, max(n_submaps // 2, 8))
+
+    gm = GlobalMapping(GlobalMappingParams(
+        submap_voxel_resolution=0.5, voxel_capacity=16384,
+        min_implicit_loop_overlap=0.15,
+        max_implicit_loop_distance=40.0,
+        optimization_interval_submaps=interval))
+
+    drift = lie_np.se3_exp(np.array([0, 0, drift_rot,
+                                     drift_trans, 0, 0.2 * drift_trans]))
+    T_true_prev = None
+    T_odom = np.eye(4)
+    checkpoints = {16, 32, 64, 128, 256, 512}
+    ins_times, opt_times = [], []
+    rows = []
+    for k in range(n_submaps):
+        ang = 2 * np.pi * k / n_submaps
+        T_true = np.eye(4)
+        T_true[:2, 3] = radius * np.cos(ang), radius * np.sin(ang)
+        yaw = ang + np.pi / 2
+        T_true[:2, :2] = [[np.cos(yaw), -np.sin(yaw)],
+                          [np.sin(yaw), np.cos(yaw)]]
+        if T_true_prev is None:
+            T_odom = T_true
+        else:
+            T_odom = T_odom @ np.linalg.inv(T_true_prev) @ T_true @ drift
+        T_true_prev = T_true
+
+        sm = make_submap(rng, k, world, T_true)
+        sm.T_world_origin = T_odom
+        t0 = time.perf_counter()
+        gm.insert_submap(sm)
+        dt = time.perf_counter() - t0
+        prof = profiling.report(reset=True).get("global/optimize")
+        if prof and prof["n"]:
+            opt_times.extend([prof["total_s"] / prof["n"]] * prof["n"])
+            dt -= prof["total_s"]      # insert wall excluding the optimize
+        ins_times.append(dt)
+        if (k + 1) in checkpoints or k == n_submaps - 1:
+            errs = [float(np.linalg.norm(gm.poses[i][:2, 3]
+                                         - _true_xy(i, n_submaps, radius)))
+                    for i in range(len(gm.poses))]
+            rows.append(dict(
+                submaps=k + 1, factors=len(gm.matching_factors),
+                insert_mean_ms=1e3 * float(np.mean(ins_times)),
+                optimize_mean_ms=(1e3 * float(np.mean(opt_times))
+                                  if opt_times else None),
+                optimize_last_ms=(1e3 * opt_times[-1] if opt_times else None),
+                ate_rmse_m=float(np.sqrt(np.mean(np.square(errs)))),
+            ))
+            print(json.dumps(rows[-1]))
+            ins_times, opt_times = [], []
+    return rows
+
+
+def _true_xy(i, n, radius):
+    ang = 2 * np.pi * i / n
+    return np.array([radius * np.cos(ang), radius * np.sin(ang)])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64)
+    ap.add_argument("--interval", type=int, default=4)
+    args = ap.parse_args()
+    run(args.n, args.interval)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,14 @@ DEFAULT_CONFIGS = {
             "autoconf_prefer_frame_time": False,
             "perpoint_relative_time": True,
             "perpoint_time_scale": 1.0,
+            # Camera config (used by extension modules only —
+            # utils/camera.py::CameraModel; reference config_sensors.json).
+            "global_shutter_camera": True,
+            "image_size": [640, 480],
+            "T_lidar_camera": [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0],
+            "intrinsics": [500.0, 500.0, 320.0, 240.0],
+            "distortion_model": "plumb_bob",
+            "distortion_coeffs": [0.0, 0.0, 0.0, 0.0, 0.0],
         }
     },
     "config_odometry_cpu.json": {
@@ -276,6 +284,19 @@ DEFAULT_CONFIGS = {
     "config_viewer.json": {
         "standard_viewer": {
             "enable": True,
+            # Rendering hints (reference standard_viewer.cpp:70-100);
+            # exported via StandardViewer.snapshot()["render_hints"] for
+            # external renderers of the dumped clouds/trajectories.
+            "default_z_range": [-2.0, 4.0],
+            "point_size": 0.025,
+            "point_size_metric": True,
+            "point_shape_circle": True,
+            "points_alpha": 1.0,
+            "factors_alpha": 1.0,
+            "enable_partial_rendering": False,
+            "partial_rendering_budget": 1024,
+            "viewer_width": 2560,
+            "viewer_height": 1440,
         }
     },
     "config_ros.json": {

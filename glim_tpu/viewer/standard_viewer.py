@@ -43,8 +43,30 @@ def _batch_bytes(batch) -> int:
 
 
 class StandardViewer(ExtensionModule):
-    def __init__(self, report_interval: float = 10.0):
+    def __init__(self, report_interval: float = 10.0, config=None):
         self.report_interval = report_interval
+        # Rendering hints (reference standard_viewer.cpp:70-100 GUI knobs:
+        # point size/shape/alpha, z-range coloring, partial-rendering
+        # budget, window size). Rendering is delegated to external tools
+        # here; the parsed hints ride along in snapshot() so any consumer
+        # of the exported clouds/trajectories renders with the configured
+        # style.
+        g = (lambda k, d: config.param("standard_viewer", k, d)) if config \
+            else (lambda k, d: d)
+        self.render_hints = dict(
+            default_z_range=list(g("default_z_range", [-2.0, 4.0])),
+            point_size=float(g("point_size", 0.025)),
+            point_size_metric=bool(g("point_size_metric", True)),
+            point_shape_circle=bool(g("point_shape_circle", True)),
+            points_alpha=float(g("points_alpha", 1.0)),
+            factors_alpha=float(g("factors_alpha", 1.0)),
+            enable_partial_rendering=bool(g("enable_partial_rendering",
+                                            False)),
+            partial_rendering_budget=int(g("partial_rendering_budget",
+                                           1024)),
+            viewer_width=int(g("viewer_width", 2560)),
+            viewer_height=int(g("viewer_height", 1440)),
+        )
         self._lock = threading.Lock()
         self.trajectory = TrajectoryManager()
         self.odom_poses: List[np.ndarray] = []
@@ -122,6 +144,7 @@ class StandardViewer(ExtensionModule):
                 num_marginalized=self.num_marginalized,
                 T_world_odom=self.trajectory.get_T_world_odom(),
                 log_tail=get_ringbuffer_lines(32),
+                render_hints=dict(self.render_hints),
             )
 
     def at_exit(self, dump_path: str) -> None:
@@ -138,4 +161,9 @@ class StandardViewer(ExtensionModule):
 
 @register_module("extension", "standard_viewer")
 def create_extension_module(*args, **kwargs):
-    return StandardViewer()
+    from glim_tpu.utils.config import GlobalConfig
+    try:
+        config = GlobalConfig.instance().get_config("config_viewer")
+    except Exception:
+        config = None
+    return StandardViewer(config=config)

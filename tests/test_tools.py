@@ -163,3 +163,15 @@ class TestMapEditor:
         sel = np.asarray(sorted(ed.selected))
         # The far blob should be among the outliers.
         assert (sel >= 490).sum() >= 5
+
+
+class TestBackendStress:
+    @pytest.mark.slow
+    def test_small_ring(self):
+        """Backend stress harness: a small drifting ring lap must close
+        (final ATE bounded) and per-insert wall must stay bounded."""
+        from glim_tpu.tools.backend_stress import run
+        rows = run(n_submaps=12, interval=4)
+        assert rows[-1]["submaps"] == 12
+        assert rows[-1]["factors"] >= 12
+        assert rows[-1]["ate_rmse_m"] < 0.5

@@ -166,3 +166,87 @@ class TestTrajectoryManager:
             tm.add_odom(float(i), T)
         T_world = tm.odom2world(np.eye(4))
         np.testing.assert_allclose(T_world, np.eye(4))
+
+
+class TestCameraModel:
+    def _model(self):
+        from glim_tpu.utils.camera import CameraModel
+        import numpy as np
+        return CameraModel(
+            intrinsics=np.array([500.0, 510.0, 320.0, 240.0]),
+            distortion_model="plumb_bob",
+            distortion_coeffs=np.array([-0.02, 0.005, 0.001, -0.002, 0.0]),
+            image_size=(640, 480))
+
+    def test_project_unproject_roundtrip(self, rng):
+        import numpy as np
+        m = self._model()
+        pts = np.stack([rng.uniform(-0.4, 0.4, 200),
+                        rng.uniform(-0.3, 0.3, 200),
+                        np.ones(200)], 1) * rng.uniform(1, 10, (200, 1))
+        uv, valid = m.project(pts)
+        assert valid.mean() > 0.9
+        rays = m.unproject(uv[valid], depth=pts[valid, 2]
+                           / m.unproject(uv[valid])[:, 2]
+                           * np.linalg.norm(m.unproject(uv[valid]), axis=1))
+        # simpler: unproject rays and compare direction
+        d = m.unproject(uv[valid])
+        d_true = pts[valid] / np.linalg.norm(pts[valid], axis=1, keepdims=True)
+        np.testing.assert_allclose(d, d_true, atol=1e-6)
+
+    def test_fisheye_and_none(self, rng):
+        import numpy as np
+        from glim_tpu.utils.camera import CameraModel
+        m = self._model()
+        m.distortion_model = "fisheye"
+        m.distortion_coeffs = np.array([0.01, -0.002, 0.0005, 0.0])
+        xn = rng.uniform(-0.5, 0.5, (100, 2))
+        back = m.undistort(m.distort(xn), iters=30)
+        np.testing.assert_allclose(back, xn, atol=1e-7)
+        m2 = CameraModel(distortion_model="none")
+        np.testing.assert_array_equal(m2.distort(xn), xn)
+
+    def test_project_lidar_extrinsics(self, rng):
+        import numpy as np
+        m = self._model()
+        # camera 10 cm ahead of lidar along x, looking same way as +z
+        T = np.eye(4)
+        T[0, 3] = 0.1
+        m.T_lidar_camera = T
+        pts_lidar = np.array([[0.1, 0.0, 5.0]])
+        uv, valid = m.project_lidar(pts_lidar)
+        assert valid[0]
+        np.testing.assert_allclose(uv[0], [320.0, 240.0], atol=1e-6)
+
+    def test_from_config(self, tmp_path):
+        import numpy as np
+        from glim_tpu.utils.camera import CameraModel
+        from glim_tpu.utils.config import GlobalConfig, create_default_config_dir
+        GlobalConfig.reset()
+        d = create_default_config_dir(str(tmp_path / "cfg"))
+        gc = GlobalConfig.instance(d, override=True)
+        m = CameraModel.from_config(gc.get_config("config_sensors"))
+        assert m.image_size == (640, 480)
+        assert m.distortion_model == "plumb_bob"
+        assert m.intrinsics.shape == (4,)
+        GlobalConfig.reset()
+
+
+class TestViewerRenderHints:
+    def test_hints_from_config_in_snapshot(self, tmp_path):
+        import json
+        from glim_tpu.utils.config import Config
+        from glim_tpu.viewer.standard_viewer import StandardViewer
+        p = tmp_path / "viewer.json"
+        p.write_text(json.dumps({"standard_viewer": {
+            "point_size": 0.1, "points_alpha": 0.5,
+            "default_z_range": [-1.0, 9.0]}}))
+        v = StandardViewer(config=Config(str(p)))
+        try:
+            snap = v.snapshot()
+            assert snap["render_hints"]["point_size"] == 0.1
+            assert snap["render_hints"]["points_alpha"] == 0.5
+            assert snap["render_hints"]["default_z_range"] == [-1.0, 9.0]
+            assert snap["render_hints"]["viewer_width"] == 2560
+        finally:
+            v.detach()
