@@ -1,0 +1,12 @@
+"""Bundled example extension modules (the glim_ext ecosystem analogue).
+
+The reference keeps proof-of-concept extensions in a sibling repository
+(koide3/glim_ext: ScanContext loop detector, GNSS constraints, velocity
+suppressor, IMU calibration validator, ...) wired purely through the global
+callback slots. These modules play the same role here — decoupled from the
+pipeline, communicating only via ``glim_tpu``'s callback/request slots —
+and double as working examples of the extension surface (docs/extend.md).
+
+Load via the ``extension_modules`` config list, e.g.
+``"glim_tpu.ext.scan_context:create_extension_module"``.
+"""

@@ -213,6 +213,7 @@ def save_dump(path: str, submaps: List[SubMap], poses: List[np.ndarray],
 
     if factors:
         matching = np.asarray(factors.get("matching", []), np.int32).reshape(-1, 2)
+        tp = factors.get("translation_priors", [])
         np.savez(os.path.join(path, "graph.npz"),
                  i=np.asarray(factors["i"], np.int32),
                  j=np.asarray(factors["j"], np.int32),
@@ -220,6 +221,11 @@ def save_dump(path: str, submaps: List[SubMap], poses: List[np.ndarray],
                  info=np.stack(factors["info"]) if factors["info"] else np.zeros((0, 6, 6)),
                  huber=np.asarray(factors["huber"]),
                  matching=matching,
+                 tp_idx=np.asarray([t[0] for t in tp], np.int32),
+                 tp_pos=np.asarray([t[1] for t in tp],
+                                   np.float32).reshape(-1, 3),
+                 tp_sqrt=np.asarray([t[2] for t in tp],
+                                    np.float32).reshape(-1, 3),
                  poses=np.stack(poses) if poses else np.zeros((0, 4, 4)))
 
     with open(os.path.join(path, "odom_lidar.txt"), "w") as f_ol, \
@@ -269,7 +275,11 @@ def load_dump(path: str):
         z = np.load(gp)
         factors = dict(i=list(z["i"]), j=list(z["j"]), Z=list(z["Z"]),
                        info=list(z["info"]), huber=list(z["huber"]),
-                       matching=[tuple(m) for m in z["matching"]] if "matching" in z else [])
+                       matching=[tuple(m) for m in z["matching"]] if "matching" in z else [],
+                       translation_priors=[
+                           (int(a), z["tp_pos"][k], z["tp_sqrt"][k])
+                           for k, a in enumerate(z["tp_idx"])]
+                       if "tp_idx" in z else [])
         if len(z["poses"]):
             poses = list(z["poses"])
     return submaps, poses, factors

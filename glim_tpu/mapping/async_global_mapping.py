@@ -37,6 +37,14 @@ class AsyncGlobalMapping:
         CB.request_to_optimize.add(lambda: self._request_optimize.set())
         CB.request_to_recover.add(lambda: self._request_recover.set())
         CB.request_to_find_overlapping_submaps.add(self._request_overlap.append)
+        # Extension factor-injection requests, applied on the worker thread.
+        self._request_factors: List[tuple] = []
+        CB.request_to_add_translation_prior.add(
+            lambda idx, pos, si: self._request_factors.append(
+                ("tp", idx, pos, si)))
+        CB.request_to_add_loop.add(
+            lambda tgt, src: self._request_factors.append(
+                ("loop", tgt, src)))
 
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
@@ -87,6 +95,22 @@ class AsyncGlobalMapping:
                 for sm in submaps:
                     self.global_mapping.insert_submap(sm)
                     self._last_optimization = time.time()
+
+                while self._request_factors:
+                    req = self._request_factors.pop(0)
+                    gm = self.global_mapping
+                    try:
+                        if req[0] == "tp" and hasattr(gm, "add_translation_prior"):
+                            gm.add_translation_prior(req[1], req[2], req[3])
+                        elif req[0] == "loop":
+                            if hasattr(gm, "add_matching_factor"):
+                                gm.add_matching_factor(req[1], req[2])
+                            elif hasattr(gm, "add_loop_candidate"):
+                                gm.add_loop_candidate(req[1], req[2])
+                    except Exception as e:     # extension input: never fatal
+                        import logging
+                        logging.getLogger("glim_tpu.global").warning(
+                            "extension factor request %s failed: %s", req[0], e)
 
                 if self._request_optimize.is_set():
                     self._request_optimize.clear()

@@ -28,6 +28,11 @@ class AsyncSubMapping:
         self.input_imu_queue.push_back((stamp, np.asarray(linear_acc), np.asarray(angular_vel)))
 
     def insert_frame(self, frame: EstimationFrame) -> None:
+        # Start the packed-state device->host copy NOW (producer thread):
+        # it lands while the frame sits in the queue, so the worker's
+        # fetch_state() doesn't pay a blocking roundtrip behind the busy
+        # odometry device queue.
+        frame.fetch_state_async()
         self.input_frame_queue.push_back(frame)
 
     def insert_image(self, stamp: float, image) -> None:

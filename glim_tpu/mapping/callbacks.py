@@ -38,3 +38,11 @@ class GlobalMappingCallbacks:
     request_to_recover = CallbackSlot("global.request_to_recover")
     # (min_overlap: float)
     request_to_find_overlapping_submaps = CallbackSlot("global.request_to_find_overlapping_submaps")
+    # Extension factor-injection slots (the glim_ext modules inject factors
+    # through the reference's on_smoother_update new_factors argument;
+    # these typed slots are the explicit equivalent):
+    # (submap_idx: int, position (3,) map frame, sqrt_info scalar or (3,))
+    request_to_add_translation_prior = CallbackSlot(
+        "global.request_to_add_translation_prior")
+    # (tgt: int, src: int) — explicit loop-closure pair from a detector.
+    request_to_add_loop = CallbackSlot("global.request_to_add_loop")

@@ -89,8 +89,8 @@ def _endpoint_imu_system(T_i, T_j, junc, A_R, A_L, pre, gravity):
     return J.T @ info_J, J.T @ info_r, r @ info_r
 
 
-@partial(jax.jit, static_argnames=("Sp", "Fp", "Bp", "Jp", "Ap", "iters",
-                                   "shard_mesh"))
+@partial(jax.jit, static_argnames=("Sp", "Fp", "Bp", "Jp", "Ap", "Tp",
+                                   "iters", "shard_mesh"))
 def global_gn(poses0, junc0,
               # matching factors (cached correspondences)
               f_tgt, f_src, f_w, f_mu, f_ct, f_hit,
@@ -102,7 +102,9 @@ def global_gn(poses0, junc0,
               # priors / anchors / recovery
               prior_T, prior_sqrt, grav_idx, grav_valid, grav_sqrt,
               damping, gravity, matching_weight,
-              *, Sp: int, Fp: int, Bp: int, Jp: int, Ap: int,
+              # translation priors (GNSS / external position constraints)
+              t_idx=None, t_pos=None, t_sqrt=None, t_valid=None,
+              *, Sp: int, Fp: int, Bp: int, Jp: int, Ap: int, Tp: int = 0,
               iters: int = 5, shard_mesh=None):
     """Damped-GN over submap poses (+ junction states). Returns
     (poses', junc', err, min_diag (Sp,) — per-pose Hessian diagonal minima
@@ -200,6 +202,18 @@ def global_gn(poses0, junc0,
                 gw[:, None, None] * gH)
             g = g.at[garows].add(gw[:, None] * gb)
             err = err + jnp.sum(gw * gerr)
+
+        if Tp > 0:
+            # External position constraints (GNSS-style): translation-only
+            # priors on arbitrary submap poses, rotation left free.
+            tH, tb, terr = fct.translation_prior_linearize(T[t_idx], t_pos,
+                                                           t_sqrt)
+            tw = t_valid.astype(jnp.float32)
+            trows = t_idx[:, None] * 6 + jnp.arange(6)[None, :]
+            H = H.at[trows[:, :, None], trows[:, None, :]].add(
+                tw[:, None, None] * tH)
+            g = g.at[trows].add(tw[:, None] * tb)
+            err = err + jnp.sum(tw * terr)
 
         # Per-pose recovery damping + base regularization on padded slots.
         H = H.at[rows6[:, :, None], rows6[:, None, :]].add(

@@ -130,6 +130,10 @@ class GlobalMapping(GlobalMappingBase):
         self.recovery_damping: dict = {}
         # Gravity-alignment anchors: first submap of each appended session.
         self.gravity_anchors: List[int] = []
+        # External translation priors [(submap_idx, pos_world (3,),
+        # sqrt_info (3,))] — GNSS-style position constraints injected by
+        # extension modules (glim_ext gnss_global analogue).
+        self.translation_priors: List[tuple] = []
         self._new_loop_since_opt = False
         self._last_opt_count = 0
 
@@ -293,6 +297,31 @@ class GlobalMapping(GlobalMappingBase):
                                             jnp.int32(0)))
         return maps
 
+    def add_translation_prior(self, submap_idx: int, position,
+                              sqrt_info) -> None:
+        """External position constraint on a submap pose (GNSS-style;
+        glim_ext gnss_global analogue). ``sqrt_info`` is a scalar or (3,)
+        square-root information [1/m]. Thread-safe under the async
+        wrapper's task queue; triggers an optimize on the next cycle."""
+        si = np.asarray(sqrt_info, np.float32)
+        if si.ndim == 0:
+            si = np.full(3, float(si), np.float32)
+        self.translation_priors.append((int(submap_idx),
+                                        np.asarray(position, np.float32),
+                                        si))
+        self._new_loop_since_opt = True
+
+    def add_matching_factor(self, tgt: int, src: int) -> None:
+        """External loop-closure pair (e.g. from an explicit loop detector
+        extension): registers a matching-cost factor between two existing
+        submaps with a fresh correspondence search."""
+        if not (0 <= tgt < len(self.submaps) and 0 <= src < len(self.submaps)):
+            raise IndexError("submap index out of range")
+        if tgt == src or (tgt, src) in self.matching_factors \
+                or (src, tgt) in self.matching_factors:
+            return
+        self._register_matching_factor(tgt, src)
+
     # -- matching factors (cached correspondences) --
 
     def _register_matching_factor(self, tgt: int, src: int) -> None:
@@ -335,17 +364,23 @@ class GlobalMapping(GlobalMappingBase):
 
     def _create_matching_cost_factors(self, i: int) -> None:
         """Implicit loop closure: factors to all overlapping nearby submaps
-        (reference :430-484)."""
+        (reference :430-484). All distance-gated candidates' overlap
+        programs are dispatched together and fetched with ONE stacked copy
+        — per-candidate blocking fetches would each pay the device-queue
+        drain (~tunnel roundtrip) on remoted chips."""
         p = self.params
         pi = self.poses[i][:3, 3]
         connected = False
-        for j in range(i):
-            dist = np.linalg.norm(self.poses[j][:3, 3] - pi)
-            if dist > p.max_implicit_loop_distance:
-                continue
-            T_rel = jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i], jnp.float32)
-            ov = float(vmx.voxelmap_overlap(self.voxelmaps[j][0], self._m_pts[i],
-                                            self._m_mask[i], T_rel))
+        cands = [j for j in range(i)
+                 if np.linalg.norm(self.poses[j][:3, 3] - pi)
+                 <= p.max_implicit_loop_distance]
+        if cands:
+            ov_devs = [vmx.voxelmap_overlap(
+                self.voxelmaps[j][0], self._m_pts[i], self._m_mask[i],
+                jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i],
+                            jnp.float32)) for j in cands]
+            ovs = np.asarray(jnp.stack(ov_devs))
+        for j, ov in zip(cands, ovs if cands else []):
             if ov < p.min_implicit_loop_overlap:
                 continue
             self._register_matching_factor(j, i)
@@ -368,10 +403,12 @@ class GlobalMapping(GlobalMappingBase):
         B = len(self.between_factors)
         J = len(self.junction_states)
         A = len(self.gravity_anchors)
+        TR = len(self.translation_priors)
         L = max(p.submap_voxelmap_levels, 1)
         Sp, Fp, Bp, Jp, Ap = bucket(S), bucket(max(F * L, 1)), \
             bucket(max(B, 1)), (bucket(J) if J else 0), \
             (bucket(A) if A else 0)
+        Tp = bucket(TR) if TR else 0
 
         poses = pad_stack([np.asarray(T, np.float32) for T in self.poses], Sp,
                           np.eye(4, dtype=np.float32))
@@ -465,7 +502,15 @@ class GlobalMapping(GlobalMappingBase):
             damping=jnp.asarray(damping),
             gravity=jnp.asarray(GRAVITY),
             matching_weight=jnp.float32(p.matching_weight),
-        ), dict(Sp=Sp, Fp=Fp, Bp=Bp, Jp=Jp, Ap=Ap)
+            t_idx=(pad_stack([np.int32(i) for i, _, _ in
+                              self.translation_priors], Tp, np.int32(0))
+                   if Tp else None),
+            t_pos=(pad_stack([pos for _, pos, _ in self.translation_priors],
+                             Tp, np.zeros(3, np.float32)) if Tp else None),
+            t_sqrt=(pad_stack([si for _, _, si in self.translation_priors],
+                              Tp, np.zeros(3, np.float32)) if Tp else None),
+            t_valid=(pad_stack([True] * TR, Tp, False) if Tp else None),
+        ), dict(Sp=Sp, Fp=Fp, Bp=Bp, Jp=Jp, Ap=Ap, Tp=Tp)
 
     def needs_optimize(self) -> bool:
         """Anything new since the last optimize?  The async wrapper's
@@ -537,21 +582,26 @@ class GlobalMapping(GlobalMappingBase):
         existing = set(self.matching_factors)
         centers = np.stack([T[:3, 3] for T in self.poses]) if self.poses else \
             np.zeros((0, 3))
+        pairs = []
         for i in range(len(self.submaps)):
             d = np.linalg.norm(centers[:i] - centers[i], axis=1) \
                 if i else np.zeros(0)
-            for j in np.where(d <= p.max_implicit_loop_distance)[0]:
-                if (int(j), i) in existing:
-                    continue
-                T_rel = jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i],
-                                    jnp.float32)
-                ov = float(vmx.voxelmap_overlap(self.voxelmaps[j][0],
-                                                self._m_pts[i],
-                                                self._m_mask[i], T_rel))
-                if ov >= max(min_overlap, 0.01):
-                    self._register_matching_factor(int(j), i)
-                    existing.add((int(j), i))
-                    logger.info("found overlapping pair %d <-> %d (%.2f)", j, i, ov)
+            pairs.extend((int(j), i) for j in
+                         np.where(d <= p.max_implicit_loop_distance)[0]
+                         if (int(j), i) not in existing)
+        if not pairs:
+            return
+        # One stacked fetch for all candidate overlaps (per-pair blocking
+        # fetches would each drain the device queue).
+        ov_devs = [vmx.voxelmap_overlap(
+            self.voxelmaps[j][0], self._m_pts[i], self._m_mask[i],
+            jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i],
+                        jnp.float32)) for j, i in pairs]
+        ovs = np.asarray(jnp.stack(ov_devs))
+        for (j, i), ov in zip(pairs, ovs):
+            if ov >= max(min_overlap, 0.01):
+                self._register_matching_factor(j, i)
+                logger.info("found overlapping pair %d <-> %d (%.2f)", j, i, ov)
 
     def recover_graph(self) -> None:
         """Connectivity repair (reference :918-1049): re-chain poses from
@@ -586,7 +636,10 @@ class GlobalMapping(GlobalMappingBase):
                                Z=[f[2] for f in self.between_factors],
                                info=[f[3] for f in self.between_factors],
                                huber=[-1.0] * len(self.between_factors),
-                               matching=list(self.matching_factors)))
+                               matching=list(self.matching_factors),
+                               translation_priors=[
+                                   (i, pos.tolist(), si.tolist())
+                                   for i, pos, si in self.translation_priors]))
 
     def load(self, path: str, session_offset: int = 0) -> None:
         """Load a dump; with session_offset > 0 the loaded submaps are
@@ -616,6 +669,10 @@ class GlobalMapping(GlobalMappingBase):
             for pair in factors.get("matching", []):
                 self._register_matching_factor(base + int(pair[0]),
                                                base + int(pair[1]))
+            for tp in factors.get("translation_priors", []):
+                self.translation_priors.append(
+                    (base + int(tp[0]), np.asarray(tp[1], np.float32),
+                     np.asarray(tp[2], np.float32)))
         logger.info("loaded %d submaps from %s (session offset %d)",
                     len(submaps), path, session_offset)
 

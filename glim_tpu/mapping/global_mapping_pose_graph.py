@@ -331,6 +331,24 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
 
     # -- loop closure --
 
+    def add_loop_candidate(self, tgt: int, src: int,
+                           T_init=None) -> None:
+        """External loop candidate (e.g. from an explicit place-recognition
+        detector extension): enqueued into the same registration-validation
+        path as proximity candidates."""
+        if not (0 <= tgt < len(self.submaps)
+                and 0 <= src < len(self.submaps)) or tgt == src:
+            return
+        if (tgt, src) in self._looped_pairs:
+            return
+        if T_init is None:
+            T_init = np.linalg.inv(self.poses[tgt]) @ self.poses[src]
+        cand = (tgt, src, np.asarray(T_init, np.float64))
+        if self.detector is not None:
+            self.detector.push([cand])
+        else:
+            self.candidates.append(cand)
+
     def _find_loop_candidates(self, i: int) -> None:
         """Gated candidate generation with fast-forward skipping
         (reference :305-336)."""

@@ -138,6 +138,17 @@ def _keyframe_gate(vm, points, mask, T_rel):
 
 
 @jax.jit
+def _keyframe_gate_dev(vm, points, mask, T_frame, inv_last_T):
+    """Gate variant taking the frame pose as a DEVICE value: dispatched at
+    the top of per-frame processing (before any host state is needed) so
+    the tiny result copy overlaps the rest of the frame's work instead of
+    forcing a blocking fetch at decision time."""
+    T_rel = inv_last_T @ T_frame
+    ov = vmx.voxelmap_overlap(vm, points, mask, T_rel)
+    return jnp.stack([jnp.sum(mask).astype(jnp.float32), ov])
+
+
+@jax.jit
 def _smooth_chain(T_start, v_start, bias, acc, gyro, dts, mask, stamps_rel,
                   span, T_end, T_lidar_imu):
     """Integrate IMU poses across one inter-frame interval and anchor both
@@ -209,8 +220,16 @@ class SubMapping(SubMappingBase):
     def _process_frame_impl(self, frame: EstimationFrame,
                             next_frame: Optional[EstimationFrame]) -> None:
         p = self.params
+        # Dispatch the keyframe overlap gate FIRST, from the frame's DEVICE
+        # pose (no host state needed): its 2-float async copy lands while
+        # the rest of this frame's work runs, so the keyframe decision at
+        # the bottom reads a finished buffer instead of blocking on the
+        # device queue.
+        gate_pending = self._dispatch_keyframe_gate(frame)
         # One packed fetch for pose+velocity+bias instead of three lazy
-        # roundtrips (each would serialize behind the odometry device queue).
+        # roundtrips (each would serialize behind the odometry device
+        # queue); the producer thread already started these copies at
+        # hand-off (fetch_state_async).
         frame.fetch_state()
         if next_frame is not None:
             next_frame.fetch_state()
@@ -280,7 +299,7 @@ class SubMapping(SubMappingBase):
             covs=frame.frame.covs if frame.frame is not None else None,
             mask=frame.frame.mask if frame.frame is not None else None)
 
-        if self._should_insert_keyframe(frame):
+        if self._should_insert_keyframe(frame, gate_pending):
             self._insert_keyframe(current, frame)
             CB.on_new_keyframe(current, frame)
             if len(self.keyframes) >= p.max_num_keyframes:
@@ -348,7 +367,29 @@ class SubMapping(SubMappingBase):
         frame.device_imu_rate_trajectory = (packed, int(mask.sum()),
                                             frame.stamp)
 
-    def _should_insert_keyframe(self, frame: EstimationFrame) -> bool:
+    def _dispatch_keyframe_gate(self, frame: EstimationFrame):
+        """Early OVERLAP-gate dispatch from the device pose; returns the
+        in-flight (2,) device value (async copy started) or None when the
+        gate doesn't apply this frame."""
+        p = self.params
+        if (p.keyframe_update_strategy.upper() == "DISPLACEMENT"
+                or not self.keyframes
+                or frame.frame is None or frame.frame.points is None
+                or frame.device_T_world_lidar is None):
+            return None
+        last = self.keyframes[-1]
+        gate = _keyframe_gate_dev(
+            last["vms"][-1], frame.frame.points, frame.frame.mask,
+            frame.device_T_world_lidar,
+            jnp.asarray(np.linalg.inv(last["T"]), jnp.float32))
+        try:
+            gate.copy_to_host_async()
+        except AttributeError:
+            pass
+        return gate
+
+    def _should_insert_keyframe(self, frame: EstimationFrame,
+                                gate_pending=None) -> bool:
         p = self.params
         if not self.keyframes:
             return True
@@ -364,12 +405,16 @@ class SubMapping(SubMappingBase):
                     or np.linalg.norm(delta[:3]) > p.keyframe_update_interval_rot)
         # OVERLAP vs the LAST keyframe's coarsest voxelmap (reference
         # sub_mapping.cpp:249-255 uses keyframes.back()->voxelmaps.back()).
-        # One fused dispatch + ONE blocking fetch for both gate scalars
-        # (separate n_pts / overlap fetches each pay the tunnel roundtrip).
-        T = jnp.asarray(frame.T_world_sensor(), jnp.float32)
-        T_rel = jnp.asarray(np.linalg.inv(last["T"]), jnp.float32) @ T
-        gate = np.asarray(_keyframe_gate(last["vms"][-1], frame.frame.points,
-                                         frame.frame.mask, T_rel))
+        # One fused dispatch + ONE fetch for both gate scalars; normally the
+        # early-dispatched copy (gate_pending) has already landed.
+        if gate_pending is not None:
+            gate = np.asarray(gate_pending)
+        else:
+            T = jnp.asarray(frame.T_world_sensor(), jnp.float32)
+            T_rel = jnp.asarray(np.linalg.inv(last["T"]), jnp.float32) @ T
+            gate = np.asarray(_keyframe_gate(last["vms"][-1],
+                                             frame.frame.points,
+                                             frame.frame.mask, T_rel))
         if int(gate[0]) <= p.keyframe_update_min_points:
             return False
         return float(gate[1]) < p.max_keyframe_overlap

@@ -189,6 +189,9 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             6, 1.0 / max(np.sqrt(p.imu_bias_noise), 1e-6), jnp.float32)
         self._d_matching_weight = jnp.float32(p.matching_weight)
         self._d_max_corr_dist = jnp.float32(self._max_corr_dist)
+        # Optional velocity regulation (glim_ext velocity_suppressor role):
+        # device (2,) [weight, v_max] or None (absent from the program).
+        self._d_vel_reg = None
 
         self.imu_buffer: List[np.ndarray] = []   # rows [t, ax..az, wx..wz]
         self._init_odom = None
@@ -298,6 +301,17 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         CB.on_insert_imu(stamp, linear_acc, angular_vel)
         self.imu_buffer.append(np.concatenate([[stamp], linear_acc, angular_vel]))
 
+    def set_velocity_regulation(self, weight: float,
+                                max_velocity: float) -> None:
+        """Enable (weight > 0) or disable the velocity-regulation term in
+        the fused window step (glim_ext velocity_suppressor role): a
+        quadratic pull of the newest state's velocity back into the
+        |v| <= max_velocity ball. Takes effect from the next scan; the
+        weight/limit are traced device values (changing them never
+        recompiles)."""
+        self._d_vel_reg = None if weight <= 0 else \
+            jnp.asarray([weight, max_velocity], jnp.float32)
+
     # -- main entry --
 
     def insert_frame(self, frame: PreprocessedFrame,
@@ -334,6 +348,7 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             self._d_acc_noise, self._d_gyro_noise, self._d_int_noise,
             self._d_bias_rw_info, self._d_matching_weight,
             self._last_kf_pose_dev(), self._d_max_corr_dist,
+            vel_reg=self._d_vel_reg,
             W=self.W, outer_iters=p.outer_iterations,
             inner_iters=p.inner_iterations,
             compute_covs=self._covs_requested, matching=self._matching,

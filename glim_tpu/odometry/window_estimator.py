@@ -263,6 +263,10 @@ def window_scan_step(win: WindowState, vms,
                      acc_noise, gyro_noise, int_noise, bias_rw_info,
                      matching_weight, T_last_keyframe,
                      max_corr_dist=jnp.float32(2.0),
+                     # optional (2,) [weight, v_max]: quadratic pull of the
+                     # newest velocity back to the |v| <= v_max ball
+                     # (glim_ext velocity_suppressor role); None = absent.
+                     vel_reg=None,
                      *, W: int, outer_iters: int = 2, inner_iters: int = 2,
                      compute_covs: bool = False, matching: str = "vgicp",
                      full_connection: int = 2):
@@ -528,6 +532,18 @@ def window_scan_step(win: WindowState, vms,
             g = g.at[s:s + 6].add(matching_weight * (Ad.T @ sys_.b_s))
             err = err + matching_weight * sys_.error
         H = H.at[s:s + 6, s:s + 6].add(H_live)
+
+        if vel_reg is not None:
+            # Velocity regulation on the newest state: GN of the residual
+            # r = v - proj_{|v|<=v_max}(v) (zero inside the ball).
+            sv = (W - 1) * STATE_DIM + 6
+            v_new = v[W - 1]
+            speed = jnp.linalg.norm(v_new)
+            r_v = v_new * jnp.maximum(
+                1.0 - vel_reg[1] / jnp.maximum(speed, 1e-6), 0.0)
+            H = H.at[sv + jnp.arange(3), sv + jnp.arange(3)].add(vel_reg[0])
+            g = g.at[sv:sv + 3].add(vel_reg[0] * r_v)
+            err = err + vel_reg[0] * jnp.sum(r_v * r_v)
         return H, g, err, H_live
 
     T_c, v_c, b_c = T_r, v_r, b_r

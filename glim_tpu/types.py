@@ -222,6 +222,9 @@ class EstimationFrame:
         self.raw_frame = raw_frame
         self.voxelmaps = [] if voxelmaps is None else voxelmaps
         self.custom_data = {} if custom_data is None else custom_data
+        # In-flight async packed-state copy: (packed_dev, need_T, need_v,
+        # need_b) — see fetch_state_async().
+        self._state_pending = None
 
     @property
     def T_world_lidar(self) -> np.ndarray:
@@ -264,15 +267,14 @@ class EstimationFrame:
     def imu_rate_trajectory(self, traj) -> None:
         self._imu_rate_trajectory = traj
 
-    def fetch_state(self) -> None:
-        """Materialize pose/velocity/bias host caches in ONE device->host
-        roundtrip (a packed 25-float fetch) instead of three; no-op for
-        values already cached."""
+    def _pack_state(self):
+        """Build the packed 25-float device state (or None if <2 host
+        caches are missing)."""
         need_T = self._T_world_lidar is None and self.device_T_world_lidar is not None
         need_v = self._v_world_imu is None and self.device_v_world_imu is not None
         need_b = self._imu_bias is None and self.device_imu_bias is not None
         if sum((need_T, need_v, need_b)) < 2:
-            return
+            return None
         import jax.numpy as jnp
         parts = [
             jnp.reshape(self.device_T_world_lidar, (-1,)) if need_T
@@ -282,13 +284,45 @@ class EstimationFrame:
             jnp.reshape(self.device_imu_bias, (-1,)) if need_b
             else jnp.zeros(6, jnp.float32),
         ]
-        packed = np.asarray(jnp.concatenate(
-            [p.astype(jnp.float32) for p in parts]), np.float64)
-        if need_T:
+        packed = jnp.concatenate([p.astype(jnp.float32) for p in parts])
+        return packed, need_T, need_v, need_b
+
+    def fetch_state_async(self) -> None:
+        """Start a non-blocking device->host copy of the packed state.
+        A later ``fetch_state()`` consumes the landed buffer instead of
+        paying a full blocking roundtrip behind the device queue — the
+        producer thread (odometry) calls this at hand-off so the copy
+        overlaps the consumer's queue latency."""
+        if self._state_pending is not None:
+            return
+        ps = self._pack_state()
+        if ps is None:
+            return
+        packed = ps[0]
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass                       # backend without async copies
+        self._state_pending = ps
+
+    def fetch_state(self) -> None:
+        """Materialize pose/velocity/bias host caches in ONE device->host
+        roundtrip (a packed 25-float fetch) instead of three; no-op for
+        values already cached. Uses the in-flight async copy when
+        ``fetch_state_async`` was called earlier."""
+        ps = self._state_pending
+        if ps is None:
+            ps = self._pack_state()
+            if ps is None:
+                return
+        self._state_pending = None
+        packed_dev, need_T, need_v, need_b = ps
+        packed = np.asarray(packed_dev, np.float64)
+        if need_T and self._T_world_lidar is None:
             self._T_world_lidar = packed[:16].reshape(4, 4)
-        if need_v:
+        if need_v and self._v_world_imu is None:
             self._v_world_imu = packed[16:19]
-        if need_b:
+        if need_b and self._imu_bias is None:
             self._imu_bias = packed[19:25]
 
     @property

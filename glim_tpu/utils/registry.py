@@ -34,6 +34,11 @@ SO_NAME_ALIASES = {
     "libmemory_monitor.so": "memory_monitor",
     "librviz_viewer.so": "rviz_viewer",
     "libimu_validator.so": "imu_validator",
+    # glim_ext module names (the ecosystem extensions bundled in
+    # glim_tpu/ext/).
+    "libscan_context_loop_detector.so": "scan_context",
+    "libgnss_global.so": "gnss_global",
+    "libvelocity_suppressor.so": "velocity_suppressor",
 }
 
 
@@ -69,7 +74,10 @@ def _ensure_builtins_imported(kind: str) -> None:
         "extension": ["glim_tpu.viewer.standard_viewer",
                       "glim_tpu.viewer.memory_monitor",
                       "glim_tpu.ros.rviz_viewer",
-                      "glim_tpu.common.imu_validation"],
+                      "glim_tpu.common.imu_validation",
+                      "glim_tpu.ext.scan_context",
+                      "glim_tpu.ext.gnss_global",
+                      "glim_tpu.ext.velocity_suppressor"],
     }
     for m in mods.get(kind, []):
         try:

@@ -1,0 +1,285 @@
+"""Extension-module tests (glim_tpu/ext — the glim_ext ecosystem analogue)
+plus the backend factor surface they inject through."""
+
+import types as pytypes
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glim_tpu.mapping.callbacks import GlobalMappingCallbacks as GCB
+from glim_tpu.mapping.global_mapping import GlobalMapping, GlobalMappingParams
+from glim_tpu.ops import lie_np
+from glim_tpu.types import PointBatch, SubMap
+
+from tests.test_global_mapping import structured_world, submap_observing
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def build_map(rng, n_submaps=4, drift_xi=None, **param_kw):
+    world = structured_world(rng)
+    true_poses = []
+    for k in range(n_submaps):
+        T = np.eye(4)
+        T[0, 3] = 2.0 * k
+        true_poses.append(T)
+    drift = lie_np.se3_exp(np.zeros(6) if drift_xi is None else drift_xi)
+    odom = [true_poses[0]]
+    for k in range(1, n_submaps):
+        dT = np.linalg.inv(true_poses[k - 1]) @ true_poses[k]
+        odom.append(odom[-1] @ dT @ drift)
+    gm = GlobalMapping(GlobalMappingParams(
+        submap_voxel_resolution=0.5, voxel_capacity=16384,
+        min_implicit_loop_overlap=0.2, enable_imu=False, **param_kw))
+    for k in range(n_submaps):
+        sm = submap_observing(rng, k, world, true_poses[k])
+        sm.T_world_origin = odom[k]
+        gm.insert_submap(sm)
+    return gm, true_poses
+
+
+class TestTranslationPriors:
+    def test_priors_pull_drifted_map(self, rng):
+        """Strong GNSS-style position priors at the TRUE positions must pull
+        a drifted map toward them (rotation left free)."""
+        drift = np.array([0, 0, 0, 0.05, 0.02, 0.0])
+        gm, true_poses = build_map(rng, n_submaps=4, drift_xi=drift)
+        err_before = np.linalg.norm(gm.poses[-1][:3, 3]
+                                    - true_poses[-1][:3, 3])
+        for k, T in enumerate(true_poses):
+            gm.add_translation_prior(k, T[:3, 3], sqrt_info=30.0)
+        gm.optimize()
+        err_after = np.linalg.norm(gm.poses[-1][:3, 3]
+                                   - true_poses[-1][:3, 3])
+        assert err_after < max(0.5 * err_before, 0.02)
+        assert err_after < 0.05
+
+    def test_priors_survive_save_load(self, rng, tmp_path):
+        gm, true_poses = build_map(rng, n_submaps=3)
+        gm.add_translation_prior(1, [1.0, 2.0, 3.0], sqrt_info=[1.0, 2.0, 3.0])
+        gm.save(str(tmp_path / "dump"))
+        gm2 = GlobalMapping(GlobalMappingParams(enable_imu=False))
+        gm2.load(str(tmp_path / "dump"))
+        assert len(gm2.translation_priors) == 1
+        idx, pos, si = gm2.translation_priors[0]
+        assert idx == 1
+        np.testing.assert_allclose(pos, [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(si, [1.0, 2.0, 3.0])
+
+    def test_external_matching_factor(self, rng):
+        gm, _ = build_map(rng, n_submaps=4)
+        n0 = len(gm.matching_factors)
+        gm.add_matching_factor(0, 3)
+        assert len(gm.matching_factors) >= n0  # may already exist
+        gm.add_matching_factor(0, 3)           # idempotent
+        gm.optimize()
+        assert all(np.all(np.isfinite(T)) for T in gm.poses)
+
+
+class TestScanContext:
+    def _room_cloud(self, rng, cap=4096, rot=0.0, jitter=0.0):
+        """L-shaped wall scene (rotation-asymmetric)."""
+        n = cap
+        pts = np.zeros((cap, 3), np.float32)
+        k = n // 2
+        pts[:k, 0] = rng.uniform(0, 20, k)
+        pts[:k, 1] = 10.0
+        pts[:k, 2] = rng.uniform(0, 4, k)
+        pts[k:, 0] = -5.0
+        pts[k:, 1] = rng.uniform(-15, 10, n - k)
+        pts[k:, 2] = rng.uniform(0, 4, n - k)
+        pts += rng.normal(0, jitter, pts.shape).astype(np.float32) \
+            if jitter else 0.0
+        c, s = np.cos(rot), np.sin(rot)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        return pts @ R.T, np.ones(cap, bool)
+
+    def test_rotation_invariance(self, rng):
+        from glim_tpu.ext.scan_context import (scan_context_descriptor,
+                                               sc_distance)
+        pts, mask = self._room_cloud(rng)
+        n_sectors = 60
+        rot_sectors = 7
+        pts_r, _ = self._room_cloud(rng, rot=2 * np.pi * rot_sectors / n_sectors)
+        d1 = scan_context_descriptor(jnp.asarray(pts), jnp.asarray(mask),
+                                     jnp.float32(40.0))
+        d2 = scan_context_descriptor(jnp.asarray(pts_r), jnp.asarray(mask),
+                                     jnp.float32(40.0))
+        dist_same, shift = sc_distance(d1, d2)
+        assert float(dist_same) < 0.12
+        # aligning d2 back onto d1 rolls by -rot_sectors (mod S)
+        assert int(shift) % 60 in ((-rot_sectors - 1) % 60,
+                                   (-rot_sectors) % 60,
+                                   (-rot_sectors + 1) % 60)
+        # A different scene must be far.
+        pts3 = np.zeros_like(pts)
+        pts3[:, 0] = rng.uniform(-30, 30, len(pts3))
+        pts3[:, 1] = rng.uniform(-30, 30, len(pts3))
+        pts3[:, 2] = rng.uniform(0, 1, len(pts3))
+        d3 = scan_context_descriptor(jnp.asarray(pts3), jnp.asarray(mask),
+                                     jnp.float32(40.0))
+        dist_diff, _ = sc_distance(d1, d3)
+        assert float(dist_diff) > float(dist_same) + 0.1
+
+    def test_detector_fires_on_revisit(self, rng):
+        from glim_tpu.ext.scan_context import ScanContextLoopDetector
+        det = ScanContextLoopDetector(distance_threshold=0.25,
+                                      exclude_recent=2)
+        fired = []
+        h = GCB.request_to_add_loop.add(lambda t, s: fired.append((t, s)))
+        try:
+            def submap(sid, pts, mask):
+                return SubMap(id=sid, frame=PointBatch(
+                    points=jnp.asarray(pts), mask=jnp.asarray(mask)))
+            def structured_scene():
+                """Random walls + pillars (structurally distinct scenes —
+                uniform random clouds all share the same max-z polar map)."""
+                chunks = []
+                for _ in range(3):            # 3 random walls
+                    ang = rng.uniform(0, np.pi)
+                    off = rng.uniform(5, 25)
+                    u = rng.uniform(-15, 15, 500)
+                    h = rng.uniform(0, rng.uniform(2, 8), 500)
+                    c_, s_ = np.cos(ang), np.sin(ang)
+                    chunks.append(np.stack([u * c_ - off * s_,
+                                            u * s_ + off * c_, h], 1))
+                for _ in range(4):            # pillar clusters
+                    ctr = rng.uniform(-25, 25, 2)
+                    h = rng.uniform(0, rng.uniform(3, 10), 137)
+                    chunks.append(np.stack(
+                        [np.full(137, ctr[0]) + rng.normal(0, 0.1, 137),
+                         np.full(137, ctr[1]) + rng.normal(0, 0.1, 137),
+                         h], 1))
+                p = np.concatenate(chunks)[:2048].astype(np.float32)
+                pad = np.zeros((2048 - len(p), 3), np.float32)
+                return np.concatenate([p, pad])
+
+            scenes = []
+            for sid in range(4):     # distinct structured scenes
+                p = structured_scene()
+                scenes.append(p)
+                det._on_new_submap(submap(sid, p, np.ones(2048, bool)))
+            assert not fired
+            # Revisit scene 0 (slight rotation + noise).
+            c, s = np.cos(0.3), np.sin(0.3)
+            R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+            p_re = scenes[0] @ R.T + rng.normal(0, 0.05, (2048, 3)) \
+                .astype(np.float32)
+            det._on_new_submap(submap(4, p_re, np.ones(2048, bool)))
+            assert fired == [(0, 4)]
+        finally:
+            GCB.request_to_add_loop.remove(h)
+            det.detach()
+
+
+class TestGNSS:
+    def test_lla_enu_local_linearity(self):
+        from glim_tpu.ext.gnss_global import lla_to_enu
+        ref = np.array([35.0, 139.0, 50.0])
+        # ~111 m northward per 0.001 deg lat
+        enu = lla_to_enu(np.array([35.001, 139.0, 50.0]), ref)
+        assert abs(enu[1] - 111.0) < 1.0 and abs(enu[0]) < 1e-6
+        enu_z = lla_to_enu(np.array([35.0, 139.0, 60.0]), ref)
+        assert abs(enu_z[2] - 10.0) < 1e-3
+
+    def test_fit_yaw_translation(self, rng):
+        from glim_tpu.ext.gnss_global import fit_yaw_translation
+        th = 0.7
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+        t = np.array([3.0, -2.0, 1.0])
+        p_enu = rng.uniform(-50, 50, (20, 3))
+        p_map = p_enu @ R.T + t
+        R_est, t_est, rms = fit_yaw_translation(p_map, p_enu)
+        assert rms < 1e-9
+        np.testing.assert_allclose(R_est, R, atol=1e-9)
+        np.testing.assert_allclose(t_est, t, atol=1e-9)
+
+    def test_gnss_extension_fires_priors(self, rng):
+        from glim_tpu.ext.gnss_global import GNSSGlobal
+        ext = GNSSGlobal(min_baseline=5.0, min_pairs=3, default_std=1.0)
+        fired = []
+        h = GCB.request_to_add_translation_prior.add(
+            lambda i, p, s: fired.append((i, np.asarray(p), float(np.mean(s)))))
+        try:
+            # Map frame rotated 0.5 rad from ENU, offset (10, -5, 2).
+            th = 0.5
+            R = np.array([[np.cos(th), -np.sin(th), 0],
+                          [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+            t_off = np.array([10.0, -5.0, 2.0])
+            for k in range(8):
+                enu = np.array([4.0 * k, 1.0 * k, 0.0])
+                ext.insert_gnss(float(k), enu, std=1.0)
+                T = np.eye(4)
+                T[:3, 3] = R @ enu + t_off
+                frame = pytypes.SimpleNamespace(stamp=float(k))
+                sm = SubMap(id=k, T_world_origin=T)
+                sm.frames = [frame]
+                ext._on_new_submap(sm)
+            assert ext.T_map_enu is not None
+            assert fired, "no priors fired after alignment"
+            # Fired positions must be the map-frame GNSS positions.
+            for idx, pos, _si in fired:
+                expect = R @ np.array([4.0 * idx, 1.0 * idx, 0.0]) + t_off
+                np.testing.assert_allclose(pos, expect, atol=1e-3)
+        finally:
+            GCB.request_to_add_translation_prior.remove(h)
+            ext.detach()
+
+    def test_e2e_gnss_corrects_drifted_map(self, rng):
+        """Priors injected through the request slot + serviced into
+        GlobalMapping fix a drifted map (the full extension path, sync)."""
+        drift = np.array([0, 0, 0, 0.06, 0.0, 0.0])
+        gm, true_poses = build_map(rng, n_submaps=4, drift_xi=drift)
+        h = GCB.request_to_add_translation_prior.add(
+            lambda i, p, s: gm.add_translation_prior(i, p, s))
+        try:
+            for k, T in enumerate(true_poses):
+                GCB.request_to_add_translation_prior(k, T[:3, 3].astype(
+                    np.float32), np.float32(30.0))
+            gm.optimize()
+            err = np.linalg.norm(gm.poses[-1][:3, 3] - true_poses[-1][:3, 3])
+            assert err < 0.05
+        finally:
+            GCB.request_to_add_translation_prior.remove(h)
+
+
+class TestVelocitySuppressor:
+    def test_hooks_odometry_module(self):
+        from glim_tpu.ext.velocity_suppressor import VelocitySuppressor
+        from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks
+        ext = VelocitySuppressor(max_velocity=3.0, weight=5.0)
+        calls = []
+        mod = pytypes.SimpleNamespace(
+            set_velocity_regulation=lambda w, v: calls.append((w, v)))
+        try:
+            OdometryEstimationCallbacks.on_smoother_update(mod)
+            assert calls == [(5.0, 3.0)]
+            OdometryEstimationCallbacks.on_smoother_update(mod)
+            assert len(calls) == 1          # applied once
+        finally:
+            ext.detach()
+
+    def test_setter_on_real_module(self):
+        from glim_tpu.odometry.odometry_estimation_imu import (
+            OdometryEstimationIMU)
+        mod = OdometryEstimationIMU()
+        assert mod._d_vel_reg is None
+        mod.set_velocity_regulation(10.0, 4.0)
+        np.testing.assert_allclose(np.asarray(mod._d_vel_reg), [10.0, 4.0])
+        mod.set_velocity_regulation(0.0, 4.0)
+        assert mod._d_vel_reg is None
+
+
+class TestRegistry:
+    def test_ext_modules_loadable(self):
+        from glim_tpu.utils.registry import load_module
+        for so in ("libscan_context_loop_detector.so", "libgnss_global.so",
+                   "libvelocity_suppressor.so"):
+            m = load_module("extension", so)
+            assert m is not None
+            m.detach()
