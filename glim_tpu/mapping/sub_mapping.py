@@ -174,6 +174,92 @@ def _rot_to_quat_dev(R):
     return lie.rot_to_quat(R)
 
 
+@jax.jit
+def _sub_frame_program(packed, T_lidar_imu, acc_noise, gyro_noise, int_noise):
+    """ONE fused per-frame program on ONE packed upload (remoted chips pay
+    ~2-4 ms of tunnel latency per host->device transfer; the separate
+    preintegrate/smooth paths cost ~12 small uploads per frame).
+
+    ``packed`` (2*CAP+7, 8) f32:
+      rows [0, CAP):      window A (prev->cur)  [acc(3), gyro(3), dt, rel]
+      rows [CAP, 2*CAP):  window B (cur->next)  same layout
+      row 2*CAP:          [spanB, 0, biasA(6)]
+      rows 2*CAP+1..+2:   T_cur  (16 floats)
+      rows 2*CAP+3..+4:   T_next (16 floats)
+      row 2*CAP+5:        [v_cur(3), ...]
+      row 2*CAP+6:        [bias_cur(6), ...]
+    Padding rows carry rel = 1e9 (the mask sentinel; also keeps the packed
+    trajectory stamps monotone for deskew's searchsorted).
+
+    Returns (traj (8, CAP) for window B, preintegration pytree for window A).
+    """
+    CAP = IMU_CHAIN_CAP
+    A, B = packed[:CAP], packed[CAP:2 * CAP]
+    maskA, maskB = A[:, 7] < 1e8, B[:, 7] < 1e8
+    biasA = packed[2 * CAP, 2:8]
+    T_cur = packed[2 * CAP + 1:2 * CAP + 3].reshape(4, 4)
+    T_next = packed[2 * CAP + 3:2 * CAP + 5].reshape(4, 4)
+    v_cur = packed[2 * CAP + 5, :3]
+    b_cur = packed[2 * CAP + 6, :6]
+    span = packed[2 * CAP, 0]
+
+    pre = imu_ops.preintegrate(A[:, :3], A[:, 3:6], A[:, 6], maskA, biasA,
+                               acc_noise, gyro_noise, int_noise)
+
+    T_wi0 = T_cur @ T_lidar_imu
+    T_wi1 = T_next @ T_lidar_imu
+    Rs, ps, _ = imu_ops.integrate_poses(
+        T_wi0[:3, :3], T_wi0[:3, 3], v_cur, b_cur,
+        jnp.asarray(GRAVITY, jnp.float32), B[:, :3], B[:, 3:6], B[:, 6],
+        maskB)
+    sigmas = B[:, 6] / jnp.maximum(span, 1e-3) + 1e-2
+    Rs2, ps2 = imu_ops.smooth_pose_chain(Rs, ps, maskB, sigmas, T_wi1)
+    quats = jax.vmap(_rot_to_quat_dev)(Rs2)
+    stamps_safe = jnp.where(maskB, B[:, 7], 1e9)
+    traj = jnp.concatenate([stamps_safe[None, :], ps2.T, quats.T], axis=0)
+    return traj, pre
+
+
+@partial(jax.jit, static_argnames=("stride", "levels", "cap", "res0",
+                                   "scale"))
+def _kf_build_deskew(raw_pts, raw_times, raw_mask, neighbors, traj_packed,
+                     T_li, *, stride: int, levels: int, cap: int,
+                     res0: float, scale: float):
+    """ONE fused keyframe build: IMU-rate re-deskew + covariance
+    re-estimation + stride sampling + all per-keyframe voxelmap levels
+    (reference sub_mapping.cpp:339-419) — a single dispatch instead of
+    four-plus (each dispatch pays tunnel latency on remoted chips)."""
+    from glim_tpu.ops import covariance as cov_ops
+    stamps_rel = traj_packed[0]
+    trans = traj_packed[1:4].T
+    quats = traj_packed[4:8].T
+    pts = deskew_ops.deskew_imu(raw_pts, raw_times, raw_mask,
+                                stamps_rel, quats, trans, T_li)
+    covs, _ = cov_ops.estimate_covariances(pts, raw_mask, neighbors, "plane")
+    s_pts, s_covs, s_mask = pts[::stride], covs[::stride], raw_mask[::stride]
+    vms = []
+    for lvl in range(levels):
+        vm = vmx.empty_gaussian_voxelmap(cap, res0 * (scale ** lvl))
+        vms.append(vmx.voxelmap_insert(vm, s_pts, s_mask, s_covs,
+                                       jnp.int32(0)))
+    return pts, covs, s_pts, s_covs, s_mask, vms
+
+
+@partial(jax.jit, static_argnames=("stride", "levels", "cap", "res0",
+                                   "scale"))
+def _kf_build_plain(pts, covs, mask, *, stride: int, levels: int, cap: int,
+                    res0: float, scale: float):
+    """Keyframe build without re-deskew (no IMU-rate trajectory): stride
+    sampling + voxelmap levels in one dispatch."""
+    s_pts, s_covs, s_mask = pts[::stride], covs[::stride], mask[::stride]
+    vms = []
+    for lvl in range(levels):
+        vm = vmx.empty_gaussian_voxelmap(cap, res0 * (scale ** lvl))
+        vms.append(vmx.voxelmap_insert(vm, s_pts, s_mask, s_covs,
+                                       jnp.int32(0)))
+    return s_pts, s_covs, s_mask, vms
+
+
 class SubMapping(SubMappingBase):
     def __init__(self, params: Optional[SubMappingParams] = None):
         self.params = params or SubMappingParams()
@@ -191,6 +277,13 @@ class SubMapping(SubMappingBase):
         self._preints: List = []
         self._pre_valid: List[bool] = []
         self._last_frame_full = dict(T=np.eye(4), pts=None, covs=None, mask=None)
+        # Device-resident constants for the fused per-frame IMU program
+        # (fresh tiny uploads every call would each pay tunnel latency).
+        self._d_T_li = None
+        self._d_T_li_fwd = None
+        self._d_acc_noise = jnp.float32(0.05)
+        self._d_gyro_noise = jnp.float32(0.02)
+        self._d_int_noise = jnp.float32(0.001)
         self._rng = np.random.default_rng(7)
 
     def insert_imu(self, stamp, linear_acc, angular_vel) -> None:
@@ -225,17 +318,29 @@ class SubMapping(SubMappingBase):
         # the rest of this frame's work runs, so the keyframe decision at
         # the bottom reads a finished buffer instead of blocking on the
         # device queue.
-        gate_pending = self._dispatch_keyframe_gate(frame)
+        from glim_tpu.utils.profiling import profile_scope
+        with profile_scope("sub/gate_dispatch"):
+            gate_pending = self._dispatch_keyframe_gate(frame)
         # One packed fetch for pose+velocity+bias instead of three lazy
         # roundtrips (each would serialize behind the odometry device
         # queue); the producer thread already started these copies at
         # hand-off (fetch_state_async).
-        frame.fetch_state()
-        if next_frame is not None:
-            next_frame.fetch_state()
+        with profile_scope("sub/fetch_state"):
+            frame.fetch_state()
+            if next_frame is not None:
+                next_frame.fetch_state()
 
-        if p.enable_imu and next_frame is not None:
-            self._smooth_imu_rate(frame, next_frame)
+        # One fused IMU program per frame (preintegration of the prev->cur
+        # window + cur->next chain smoothing) on ONE packed upload.
+        traj_dev = pre_dev = None
+        nA = nB = 0
+        if p.enable_imu:
+            with profile_scope("sub/smooth"):
+                traj_dev, pre_dev, nA, nB = self._dispatch_imu_program(
+                    frame, next_frame)
+            if traj_dev is not None:
+                frame.imu_rate_trajectory = None
+                frame.device_imu_rate_trajectory = (traj_dev, nB, frame.stamp)
 
         current = len(self.frames)
         self.odom_frames.append(frame.clone_wo_points())
@@ -271,17 +376,8 @@ class SubMapping(SubMappingBase):
             self._bt_info.append(info)       # resolved (fetched) at create
             self._bt_valid.append(p.create_between_factors)
         if p.enable_imu and current > 0:
-            acc, gyro, dts, mask, _ = self._imu_between(
-                self.frames[-2].stamp, frame.stamp)
-            n_integrated = int(mask.sum())
-            if n_integrated >= 2:
-                bias = self.frames[-2].imu_bias
-                bias = np.zeros(6) if bias is None else bias
-                pre = imu_ops.preintegrate(
-                    jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts),
-                    jnp.asarray(mask), jnp.asarray(bias, jnp.float32),
-                    jnp.float32(0.05), jnp.float32(0.02), jnp.float32(0.001))
-                self._preints.append(pre)
+            if nA >= 2:
+                self._preints.append(pre_dev)
                 self._pre_valid.append(True)
             else:
                 logger.warning("insufficient IMU data between LiDAR frames!! "
@@ -299,8 +395,11 @@ class SubMapping(SubMappingBase):
             covs=frame.frame.covs if frame.frame is not None else None,
             mask=frame.frame.mask if frame.frame is not None else None)
 
-        if self._should_insert_keyframe(frame, gate_pending):
-            self._insert_keyframe(current, frame)
+        with profile_scope("sub/gate_read"):
+            do_kf = self._should_insert_keyframe(frame, gate_pending)
+        if do_kf:
+            with profile_scope("sub/kf_insert"):
+                self._insert_keyframe(current, frame)
             CB.on_new_keyframe(current, frame)
             if len(self.keyframes) >= p.max_num_keyframes:
                 self._create_submap()
@@ -341,31 +440,61 @@ class SubMapping(SubMappingBase):
             mask[i] = True
         return acc, gyro, dts, mask, rel
 
-    def _smooth_imu_rate(self, frame: EstimationFrame,
-                         next_frame: EstimationFrame) -> None:
-        """Write the doubly-anchored IMU-rate trajectory onto the frame
-        (reference sub_mapping.cpp:117-162)."""
-        acc, gyro, dts, mask, rel = self._imu_between(frame.stamp,
-                                                      next_frame.stamp)
-        if mask.sum() < 2:
-            return
+    def _imu_window_block(self, t0: float, t1: float):
+        """(CAP, 8) [acc(3), gyro(3), dt, rel] block covering (t0, t1];
+        padding rows carry rel = 1e9 (mask sentinel). Returns (block, n)."""
+        acc, gyro, dts, mask, rel = self._imu_between(t0, t1)
+        block = np.full((IMU_CHAIN_CAP, 8), 0.0, np.float32)
+        block[:, :3] = acc
+        block[:, 3:6] = gyro
+        block[:, 6] = dts
+        block[:, 7] = np.where(mask, rel, 1e9)
+        return block, int(mask.sum())
+
+    def _dispatch_imu_program(self, frame: EstimationFrame,
+                              next_frame: Optional[EstimationFrame]):
+        """Build the packed per-frame IMU upload and run the fused program.
+        Returns (traj_dev or None, pre_dev or None, nA, nB): the cur->next
+        smoothed IMU-rate trajectory (device) and the prev->cur
+        preintegration (device pytree). Keeping both device-resident means
+        the per-frame loop never pays a blocking fetch; host copies
+        (dump/export) materialize lazily."""
+        CAP = IMU_CHAIN_CAP
+        prev = self.frames[-1] if self.frames else None
+        packed = np.zeros((2 * CAP + 7, 8), np.float32)
+        packed[:CAP, 7] = 1e9
+        packed[CAP:2 * CAP, 7] = 1e9
+        nA = nB = 0
+        if prev is not None:
+            packed[:CAP], nA = self._imu_window_block(prev.stamp, frame.stamp)
+            biasA = prev.imu_bias
+            if biasA is not None:
+                packed[2 * CAP, 2:8] = biasA
+        if next_frame is not None:
+            packed[CAP:2 * CAP], nB = self._imu_window_block(
+                frame.stamp, next_frame.stamp)
+            packed[2 * CAP, 0] = next_frame.stamp - frame.stamp
+            packed[2 * CAP + 3:2 * CAP + 5] = np.asarray(
+                next_frame.T_world_sensor(), np.float32).reshape(2, 8)
+        if nA < 2 and nB < 2:
+            return None, None, nA, nB
+        packed[2 * CAP + 1:2 * CAP + 3] = np.asarray(
+            frame.T_world_sensor(), np.float32).reshape(2, 8)
         v = frame.v_world_imu
         b = frame.imu_bias
-        packed = _smooth_chain(
-            jnp.asarray(frame.T_world_sensor(), jnp.float32),
-            jnp.asarray(np.zeros(3) if v is None else v, jnp.float32),
-            jnp.asarray(np.zeros(6) if b is None else b, jnp.float32),
-            jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts),
-            jnp.asarray(mask), jnp.asarray(rel),
-            jnp.float32(next_frame.stamp - frame.stamp),
-            jnp.asarray(next_frame.T_world_sensor(), jnp.float32),
-            jnp.asarray(np.linalg.inv(frame.T_lidar_imu), jnp.float32))
-        # Keep the trajectory device-resident: the keyframe re-deskew
-        # consumes it on device, and the host copy (dump/export) is
-        # materialized lazily — no blocking fetch in the per-frame loop.
-        frame.imu_rate_trajectory = None
-        frame.device_imu_rate_trajectory = (packed, int(mask.sum()),
-                                            frame.stamp)
+        if v is not None:
+            packed[2 * CAP + 5, :3] = v
+        if b is not None:
+            packed[2 * CAP + 6, :6] = b
+        if self._d_T_li is None:
+            # Matches the previous per-call transform handed to the chain.
+            self._d_T_li = jnp.asarray(np.linalg.inv(frame.T_lidar_imu),
+                                       jnp.float32)
+        traj, pre = _sub_frame_program(jnp.asarray(packed), self._d_T_li,
+                                       self._d_acc_noise, self._d_gyro_noise,
+                                       self._d_int_noise)
+        return (traj if (nB >= 2 and next_frame is not None) else None,
+                pre if nA >= 2 else None, nA, nB)
 
     def _dispatch_keyframe_gate(self, frame: EstimationFrame):
         """Early OVERLAP-gate dispatch from the device pose; returns the
@@ -433,48 +562,34 @@ class SubMapping(SubMappingBase):
         host_irt = frame._imu_rate_trajectory
         has_irt = ((dev_irt is not None and dev_irt[1] >= 2)
                    or (host_irt is not None and host_irt.shape[1] >= 2))
+        stride = max(1, int(round(1.0 / max(p.keyframe_randomsampling_rate, 1e-3))))
+        static = dict(stride=stride,
+                      levels=max(p.keyframe_voxelmap_levels, 1),
+                      cap=p.keyframe_voxel_capacity,
+                      res0=p.keyframe_voxel_resolution,
+                      scale=p.keyframe_voxelmap_scaling_factor)
         if (p.enable_imu and raw is not None and has_irt
                 and getattr(raw, "device_points", None) is not None):
             if dev_irt is not None:
                 # Device-resident packed table: zero host roundtrips
                 # (padding stamps sit at +1e9, monotone for searchsorted).
-                packed, _n, _s0 = dev_irt
-                stamps_rel = packed[0]
-                trans = packed[1:4].T
-                quats = packed[4:8].T
+                traj_packed, _n, _s0 = dev_irt
             else:
                 traj = host_irt
-                stamps_rel = jnp.asarray(traj[0] - frame.stamp, jnp.float32)
-                quats = jnp.asarray(traj[4:8].T, jnp.float32)
-                trans = jnp.asarray(traj[1:4].T, jnp.float32)
-            # deskew_imu returns scan-start LiDAR-frame points — the frame
-            # the submap's keyframe clouds live in.
-            pts = deskew_ops.deskew_imu(
+                traj_packed = jnp.asarray(np.concatenate(
+                    [(traj[0:1] - frame.stamp), traj[1:8]]), jnp.float32)
+            if self._d_T_li_fwd is None:
+                self._d_T_li_fwd = jnp.asarray(frame.T_lidar_imu, jnp.float32)
+            # ONE fused dispatch: deskew + covariances + sample + voxelmaps.
+            pts, covs, s_pts, s_covs, s_mask, vms = _kf_build_deskew(
                 raw.device_points, raw.device_times, raw.device_mask,
-                stamps_rel, quats, trans,
-                jnp.asarray(frame.T_lidar_imu, jnp.float32))
+                raw.device_neighbors, traj_packed, self._d_T_li_fwd, **static)
             mask = raw.device_mask
-            from glim_tpu.ops import covariance as cov_ops
-            covs, _ = cov_ops.estimate_covariances(pts, mask,
-                                                   raw.device_neighbors, "plane")
-
-        if covs is None:
-            covs = jnp.zeros(pts.shape[:1] + (3, 3), jnp.float32)
-
-        # Random sampling (reference keyframe_randomsampling_rate) as a
-        # static-shape stride; the keyframe voxelmaps are built from this
-        # sampled cloud, exactly as the reference (sub_mapping.cpp:390-417).
-        stride = max(1, int(round(1.0 / max(p.keyframe_randomsampling_rate, 1e-3))))
-        s_pts = pts[::stride]
-        s_covs = covs[::stride]
-        s_mask = mask[::stride]
-
-        # Per-keyframe multi-level voxelmaps from the subsampled cloud.
-        vms = []
-        for lvl in range(max(p.keyframe_voxelmap_levels, 1)):
-            res = p.keyframe_voxel_resolution * (p.keyframe_voxelmap_scaling_factor ** lvl)
-            vm = vmx.empty_gaussian_voxelmap(p.keyframe_voxel_capacity, res)
-            vms.append(vmx.voxelmap_insert(vm, s_pts, s_mask, s_covs, jnp.int32(0)))
+        else:
+            if covs is None:
+                covs = jnp.zeros(pts.shape[:1] + (3, 3), jnp.float32)
+            s_pts, s_covs, s_mask, vms = _kf_build_plain(pts, covs, mask,
+                                                         **static)
 
         self.keyframes.append(dict(
             fidx=current, T=frame.T_world_sensor(), id=frame.id,
