@@ -148,27 +148,6 @@ def _keyframe_gate_dev(vm, points, mask, T_frame, inv_last_T):
     return jnp.stack([jnp.sum(mask).astype(jnp.float32), ov])
 
 
-@jax.jit
-def _smooth_chain(T_start, v_start, bias, acc, gyro, dts, mask, stamps_rel,
-                  span, T_end, T_lidar_imu):
-    """Integrate IMU poses across one inter-frame interval and anchor both
-    ends (sub_mapping.cpp:117-162). Poses in/out are LIDAR-frame world
-    poses; the chain itself runs in the IMU frame."""
-    T_wi0 = T_start @ T_lidar_imu
-    T_wi1 = T_end @ T_lidar_imu
-    Rs, ps, _ = imu_ops.integrate_poses(T_wi0[:3, :3], T_wi0[:3, 3], v_start,
-                                        bias, jnp.asarray(GRAVITY, jnp.float32),
-                                        acc, gyro, dts, mask)
-    sigmas = dts / jnp.maximum(span, 1e-3) + 1e-2
-    Rs2, ps2 = imu_ops.smooth_pose_chain(Rs, ps, mask, sigmas, T_wi1)
-    quats = jax.vmap(lambda R: _rot_to_quat_dev(R))(Rs2)
-    # ONE packed (8, CAP) output [stamps_rel; trans; quats] so the caller
-    # can keep it device-resident (padded stamps pushed to +1e9 to stay
-    # monotone for deskew's searchsorted over the pose table).
-    stamps_safe = jnp.where(mask, stamps_rel, 1e9)
-    return jnp.concatenate([stamps_safe[None, :], ps2.T, quats.T], axis=0)
-
-
 def _rot_to_quat_dev(R):
     from glim_tpu.ops import lie
     return lie.rot_to_quat(R)
