@@ -379,7 +379,11 @@ class GlobalMapping(GlobalMappingBase):
                 self.voxelmaps[j][0], self._m_pts[i], self._m_mask[i],
                 jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i],
                             jnp.float32)) for j in cands]
-            ovs = np.asarray(jnp.stack(ov_devs))
+            # Pad the stack to a bucket size: a fresh stack shape per
+            # candidate count would recompile the (tiny) concat program on
+            # every insert.
+            ov_devs += [ov_devs[0]] * (bucket(len(ov_devs)) - len(ov_devs))
+            ovs = np.asarray(jnp.stack(ov_devs))[:len(cands)]
         for j, ov in zip(cands, ovs if cands else []):
             if ov < p.min_implicit_loop_overlap:
                 continue
@@ -597,7 +601,8 @@ class GlobalMapping(GlobalMappingBase):
             self.voxelmaps[j][0], self._m_pts[i], self._m_mask[i],
             jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i],
                         jnp.float32)) for j, i in pairs]
-        ovs = np.asarray(jnp.stack(ov_devs))
+        ov_devs += [ov_devs[0]] * (bucket(len(ov_devs)) - len(ov_devs))
+        ovs = np.asarray(jnp.stack(ov_devs))[:len(pairs)]
         for (j, i), ov in zip(pairs, ovs):
             if ov >= max(min_overlap, 0.01):
                 self._register_matching_factor(j, i)
