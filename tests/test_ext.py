@@ -283,3 +283,45 @@ class TestRegistry:
             m = load_module("extension", so)
             assert m is not None
             m.detach()
+
+
+@pytest.mark.slow
+class TestVelocityRegulationNumeric:
+    def test_regulation_bounds_velocity(self):
+        """With a tight |v| <= v_max ball, the fused window step's
+        regulation term must pull the estimated velocity well below the
+        true 3 m/s circle speed; with a huge ball it must be neutral."""
+        from glim_tpu.io.synthetic import generate_sequence
+        from tests.test_odometry_imu import run
+        from glim_tpu.odometry.odometry_estimation_imu import (
+            OdometryEstimationIMUParams)
+        seq = generate_sequence(duration=3.0, scan_hz=10.0,
+                                n_scan_points=2500, noise=0.01, seed=13,
+                                scene_points=30000)
+        params = dict(voxel_resolution=0.5, voxel_capacity=32768,
+                      window_size=4, outer_iterations=3, inner_iterations=2,
+                      initialization_window_size=0.3)
+
+        def run_with(weight, v_max):
+            import glim_tpu.odometry.odometry_estimation_imu as m
+            orig_init = m.OdometryEstimationIMU.__init__
+
+            def patched(self_, p=None):
+                orig_init(self_, p)
+                self_.set_velocity_regulation(weight, v_max)
+            m.OdometryEstimationIMU.__init__ = patched
+            try:
+                ests, _, _ = run(seq, OdometryEstimationIMUParams(**params))
+            finally:
+                m.OdometryEstimationIMU.__init__ = orig_init
+            return [np.linalg.norm(e.v_world_imu) for _, e in ests[5:]]
+
+        vs_neutral = run_with(1.0, 100.0)     # huge ball: no-op
+        assert abs(float(np.mean(vs_neutral)) - 3.0) < 0.35
+        # Tight ball: a measurable pull toward it. The term regulates only
+        # the newest state each scan (as the reference's per-frame factor
+        # does), while the IMU chain keeps re-pinning the velocity to the
+        # true 3 m/s — so suppression is a bias, not a clamp (calibrated:
+        # mean|v| 3.0 -> 2.73 @ w=1e4 -> 2.43 @ w=1e6).
+        vs_tight = run_with(1e6, 1.0)
+        assert float(np.mean(vs_tight)) < float(np.mean(vs_neutral)) - 0.3
