@@ -64,6 +64,13 @@ class GlimTPU:
         pre_cfg = self.config.get_config("config_preprocess")
         self.preprocessor = CloudPreprocessor(
             CloudPreprocessorParams.from_config(pre_cfg, sensors))
+        # Reference glim_ros keeps the raw scan on the frame only when
+        # keep_raw_points is set (config_ros.json:9 — "required for only
+        # extension modules"); the default drops it after preprocessing so
+        # the host copy doesn't ride along for the frame's whole lifetime.
+        ros_cfg = self.config.get_config("config_ros")
+        self.keep_raw_points = bool(
+            ros_cfg.param("glim_ros", "keep_raw_points", False))
 
         odo_cfg = self.config.get_config("config_odometry")
         odometry = OdometryEstimationBase.load_module(
@@ -124,6 +131,8 @@ class GlimTPU:
             return
         with profile_scope("preprocess"):
             frame = self.preprocessor.preprocess(raw)
+        if not self.keep_raw_points:
+            frame.raw_points = None
         if self.async_mode:
             self.odometry.insert_frame(frame)
             self._pump()

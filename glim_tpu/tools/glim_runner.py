@@ -11,8 +11,14 @@ Dataset layout (ROS-free; rosbags convert to this with standard tooling):
     stamps.csv                # per-scan stamps (row i -> scans/%06i)
     [times/NNNNNN.npy]        # optional per-point times
 
-Usage: python -m glim_tpu.tools.glim_runner <dataset_dir> [--config DIR]
+A ROS bag (ROS1 .bag, rosbag2 .db3 dir, or MCAP) can be played DIRECTLY —
+the reference's `glim_rosbag path_to_bag` workflow (docs/quickstart.md:70-79)
+— with messages streamed through the pure-Python readers in
+glim_tpu.io.rosbag, no conversion step and no ROS install.
+
+Usage: python -m glim_tpu.tools.glim_runner <dataset_dir|bag> [--config DIR]
        [--dump /tmp/dump] [--synthetic N_SECONDS]
+       [--points-topic T] [--imu-topic T]
 """
 
 from __future__ import annotations
@@ -45,15 +51,31 @@ def load_dataset(path: str):
     return imu, scans
 
 
+def _is_bag(path: str) -> bool:
+    """A ROS bag rather than a converted dataset directory."""
+    if os.path.isfile(path):
+        return path.endswith((".bag", ".mcap", ".db3"))
+    if os.path.isdir(path) and not os.path.exists(
+            os.path.join(path, "stamps.csv")):
+        return any(e.endswith((".bag", ".mcap", ".db3"))
+                   for e in os.listdir(path))
+    return False
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("dataset", nargs="?", help="dataset directory")
+    ap.add_argument("dataset", nargs="?",
+                    help="dataset directory or ROS bag (.bag/.db3/.mcap)")
     ap.add_argument("--config", default=None, help="config directory")
     ap.add_argument("--dump", default="/tmp/glim_tpu_dump")
     ap.add_argument("--synthetic", type=float, default=0.0,
                     help="run N seconds of the synthetic sequence instead")
     ap.add_argument("--max-workload", type=int, default=10,
                     help="throttle input when pipeline workload exceeds this")
+    ap.add_argument("--points-topic", default=None,
+                    help="bag playback: PointCloud2 topic (auto-discovered)")
+    ap.add_argument("--imu-topic", default=None,
+                    help="bag playback: Imu topic (auto-discovered)")
     args = ap.parse_args(argv)
 
     from glim_tpu.pipeline import GlimTPU
@@ -62,6 +84,7 @@ def main(argv=None):
 
     print_system_info()
 
+    stream_bag = False
     if args.synthetic > 0:
         from glim_tpu.io.synthetic import generate_sequence
         seq = generate_sequence(duration=args.synthetic, n_scan_points=20000,
@@ -70,26 +93,50 @@ def main(argv=None):
         scans = [(s.stamp, s.points, s.times) for s in seq.scans]
     else:
         if not args.dataset:
-            ap.error("dataset directory or --synthetic required")
-        imu, scans = load_dataset(args.dataset)
+            ap.error("dataset directory, bag file, or --synthetic required")
+        if _is_bag(args.dataset):
+            stream_bag = True
+        else:
+            imu, scans = load_dataset(args.dataset)
 
     glim = GlimTPU(config_path=args.config, async_mode=True)
     t0 = time.perf_counter()
-    imu_idx = 0
-    for stamp, pts, times in scans:
-        while imu_idx < len(imu) and imu[imu_idx, 0] <= stamp + 0.2:
-            glim.insert_imu(imu[imu_idx, 0], imu[imu_idx, 1:4], imu[imu_idx, 4:7])
-            imu_idx += 1
-        glim.insert_frame(RawPoints(stamp=stamp, points=pts, times=times))
-        # Adaptive throttling (the glim_rosbag playback-rate control).
-        while glim.workload() > args.max_workload:
-            time.sleep(0.01)
-        if not glim.ok():
-            print("extension module requested shutdown")
-            break
+    n = 0
+    if stream_bag:
+        # Direct bag playback (the reference's glim_rosbag): messages
+        # stream through in recorded order, throttled by workload().
+        from glim_tpu.io.rosbag import iter_sensor_messages
+        for kind, msg in iter_sensor_messages(args.dataset,
+                                              args.points_topic,
+                                              args.imu_topic):
+            if kind == "imu":
+                glim.insert_imu(msg.stamp, msg.linear_acceleration,
+                                msg.angular_velocity)
+                continue
+            glim.insert_frame(msg)
+            n += 1
+            while glim.workload() > args.max_workload:
+                time.sleep(0.01)
+            if not glim.ok():
+                print("extension module requested shutdown")
+                break
+    else:
+        imu_idx = 0
+        for stamp, pts, times in scans:
+            while imu_idx < len(imu) and imu[imu_idx, 0] <= stamp + 0.2:
+                glim.insert_imu(imu[imu_idx, 0], imu[imu_idx, 1:4],
+                                imu[imu_idx, 4:7])
+                imu_idx += 1
+            glim.insert_frame(RawPoints(stamp=stamp, points=pts, times=times))
+            # Adaptive throttling (the glim_rosbag playback-rate control).
+            while glim.workload() > args.max_workload:
+                time.sleep(0.01)
+            if not glim.ok():
+                print("extension module requested shutdown")
+                break
+        n = len(scans)
     glim.wait()
     elapsed = time.perf_counter() - t0
-    n = len(scans)
     print(f"processed {n} scans in {elapsed:.1f}s ({n / max(elapsed, 1e-9):.2f} scans/s)")
     glim.save(args.dump)
     print(f"dump saved to {args.dump}")

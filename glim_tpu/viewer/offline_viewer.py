@@ -21,10 +21,29 @@ logger = create_module_logger("offline")
 
 
 class OfflineViewer:
-    def __init__(self, params: Optional[GlobalMappingParams] = None):
+    def __init__(self, params: Optional[GlobalMappingParams] = None,
+                 config=None):
         self.params = params or GlobalMappingParams(enable_optimization=False)
         self.global_mapping = GlobalMapping(self.params)
         self._sessions = 0
+        # Rendering hints (reference config_viewer.json:23-39
+        # "interactive_viewer" section); exported alongside PLY/TUM dumps
+        # for external renderers, like StandardViewer.render_hints.
+        g = (lambda k, d: config.param("interactive_viewer", k, d)) if config \
+            else (lambda k, d: d)
+        self.render_hints = dict(
+            default_z_range=list(g("default_z_range", [-2.0, 4.0])),
+            point_size=float(g("point_size", 0.025)),
+            point_size_metric=bool(g("point_size_metric", True)),
+            point_shape_circle=bool(g("point_shape_circle", True)),
+            points_alpha=float(g("points_alpha", 0.5)),
+            factors_alpha=float(g("factors_alpha", 0.5)),
+            enable_partial_rendering=bool(g("enable_partial_rendering",
+                                            False)),
+            partial_rendering_budget=int(g("partial_rendering_budget", 1024)),
+            viewer_width=int(g("viewer_width", 2560)),
+            viewer_height=int(g("viewer_height", 1440)),
+        )
 
     def open_map(self, dump_path: str) -> None:
         self.global_mapping.load(dump_path, session_offset=self._sessions)

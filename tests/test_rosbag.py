@@ -423,3 +423,48 @@ def test_bag_converter_cli(tmp_path):
     assert imu.shape == (10, 7)
     assert scans[0][1].shape[1] >= 3
     assert scans[0][2] is not None   # per-point times preserved
+
+
+def test_glim_runner_direct_bag_playback(tmp_path, monkeypatch):
+    """glim_runner plays a bag directly (the reference's glim_rosbag,
+    docs/quickstart.md:70-79) — detection + streaming dispatch, with the
+    pipeline stubbed so the test exercises the runner, not the estimator."""
+    from glim_tpu.tools import glim_runner
+
+    bag = os.path.join(tmp_path, "bag.mcap")
+    make_mcap(bag, _sample_messages())
+    assert glim_runner._is_bag(bag)
+    assert glim_runner._is_bag(str(tmp_path))        # dir containing the bag
+    assert not glim_runner._is_bag(os.path.join(tmp_path, "nope"))
+
+    calls = {"imu": 0, "frames": [], "saved": []}
+
+    class StubGlim:
+        def __init__(self, config_path=None, async_mode=True):
+            pass
+
+        def insert_imu(self, t, acc, gyro):
+            calls["imu"] += 1
+
+        def insert_frame(self, raw):
+            calls["frames"].append(raw)
+
+        def workload(self):
+            return 0
+
+        def ok(self):
+            return True
+
+        def wait(self):
+            pass
+
+        def save(self, path):
+            calls["saved"].append(path)
+
+    import glim_tpu.pipeline as pipeline_mod
+    monkeypatch.setattr(pipeline_mod, "GlimTPU", StubGlim)
+    glim_runner.main([bag, "--dump", str(tmp_path / "dump")])
+    assert calls["imu"] == 10
+    assert len(calls["frames"]) == 3
+    assert calls["frames"][0].size == 50
+    assert calls["saved"] == [str(tmp_path / "dump")]
