@@ -113,3 +113,43 @@ class TestRunnerCLI:
         ply = str(tmp_path / "out.ply")
         main(["open", d, "--ply", ply])
         assert os.path.getsize(ply) > 1000
+
+
+class TestMapEditorCLI:
+    def test_select_delete_save(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from glim_tpu.io.dump import save_dump
+        from glim_tpu.types import PointBatch, SubMap
+        pts = rng.normal(size=(300, 3)).astype(np.float32) * 3
+        pts[:40] += np.array([20.0, 0.0, 0.0], np.float32)  # removable blob
+        sm = SubMap(id=0, T_world_origin=np.eye(4),
+                    frame=PointBatch(points=jnp.asarray(pts),
+                                     mask=jnp.ones(300, bool)))
+        d = str(tmp_path / "dump")
+        save_dump(d, [sm], [np.eye(4)])
+
+        from glim_tpu.tools.map_editor import main
+        out = str(tmp_path / "edited")
+        ply = str(tmp_path / "edited.ply")
+        assert main([d, "--select-radius", "20", "0", "0", "5",
+                     "--save", out, "--ply", ply]) == 0
+        from glim_tpu.native.loader import ply_read
+        kept = ply_read(ply)
+        assert len(kept) < 300
+        assert np.all(np.linalg.norm(kept - [20, 0, 0], axis=1) >= 4.99)
+
+    def test_dry_run_and_box(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from glim_tpu.io.dump import save_dump
+        from glim_tpu.types import PointBatch, SubMap
+        pts = rng.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+        sm = SubMap(id=0, T_world_origin=np.eye(4),
+                    frame=PointBatch(points=jnp.asarray(pts),
+                                     mask=jnp.ones(200, bool)))
+        d = str(tmp_path / "dump")
+        save_dump(d, [sm], [np.eye(4)])
+        from glim_tpu.tools.map_editor import main
+        assert main([d, "--select-box", "0", "0", "0", "1", "1", "1",
+                     "--dry-run"]) == 0
