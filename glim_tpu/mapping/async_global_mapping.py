@@ -58,7 +58,9 @@ class AsyncGlobalMapping:
         self.input_submap_queue.push_back(submap)
 
     def insert_image(self, stamp: float, image) -> None:
-        pass
+        # Callback fan-out only (global_mapping_base.cpp:14-16); safe to
+        # fire on the caller thread — CallbackSlot is thread-safe.
+        self.global_mapping.insert_image(stamp, image)
 
     def join(self) -> None:
         self._end_of_sequence.set()

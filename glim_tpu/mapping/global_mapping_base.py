@@ -10,7 +10,10 @@ from glim_tpu.utils.registry import load_module
 
 class GlobalMappingBase:
     def insert_image(self, stamp: float, image) -> None:
-        pass
+        # Fire the extension hook (reference:
+        # mapping/global_mapping_base.cpp:14-16).
+        from glim_tpu.mapping.callbacks import GlobalMappingCallbacks
+        GlobalMappingCallbacks.on_insert_image(stamp, image)
 
     def insert_imu(self, stamp: float, linear_acc: np.ndarray,
                    angular_vel: np.ndarray) -> None:

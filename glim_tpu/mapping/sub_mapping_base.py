@@ -12,7 +12,10 @@ from glim_tpu.utils.registry import load_module
 
 class SubMappingBase:
     def insert_image(self, stamp: float, image) -> None:
-        pass
+        # Fire the extension hook (reference:
+        # mapping/sub_mapping_base.cpp on_insert_image).
+        from glim_tpu.mapping.callbacks import SubMappingCallbacks
+        SubMappingCallbacks.on_insert_image(stamp, image)
 
     def insert_imu(self, stamp: float, linear_acc: np.ndarray,
                    angular_vel: np.ndarray) -> None:

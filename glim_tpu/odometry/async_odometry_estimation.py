@@ -48,7 +48,8 @@ class AsyncOdometryEstimation:
         self.input_frame_queue.push_back(frame)
 
     def insert_image(self, stamp: float, image) -> None:
-        pass
+        # Callback fan-out only; CallbackSlot is thread-safe.
+        self.odometry.insert_image(stamp, image)
 
     def join(self) -> None:
         self._end_of_sequence.set()

@@ -21,7 +21,10 @@ class OdometryEstimationBase:
         return True
 
     def insert_image(self, stamp: float, image) -> None:
-        pass
+        # Fire the extension hook (reference:
+        # odometry/odometry_estimation_base.cpp:14-16).
+        from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks
+        OdometryEstimationCallbacks.on_insert_image(stamp, image)
 
     def insert_imu(self, stamp: float, linear_acc: np.ndarray,
                    angular_vel: np.ndarray) -> None:

@@ -37,6 +37,7 @@ SO_NAME_ALIASES = {
     # glim_ext module names (the ecosystem extensions bundled in
     # glim_tpu/ext/).
     "libscan_context_loop_detector.so": "scan_context",
+    "libdbow_loop_detector.so": "image_loop",
     "libgnss_global.so": "gnss_global",
     "libvelocity_suppressor.so": "velocity_suppressor",
 }
@@ -76,6 +77,7 @@ def _ensure_builtins_imported(kind: str) -> None:
                       "glim_tpu.ros.rviz_viewer",
                       "glim_tpu.common.imu_validation",
                       "glim_tpu.ext.scan_context",
+                      "glim_tpu.ext.image_loop",
                       "glim_tpu.ext.gnss_global",
                       "glim_tpu.ext.velocity_suppressor"],
     }

@@ -325,3 +325,83 @@ class TestVelocityRegulationNumeric:
         # mean|v| 3.0 -> 2.73 @ w=1e4 -> 2.43 @ w=1e6).
         vs_tight = run_with(1e6, 1.0)
         assert float(np.mean(vs_tight)) < float(np.mean(vs_neutral)) - 0.3
+
+
+class TestImageLoop:
+    """glim_ext dbow_loop_detector role: visual place recognition."""
+
+    @staticmethod
+    def _scene_image(rng, seed_img=None, noise=0.0):
+        """A textured 'place' image: random blobs + gradients, 120x160."""
+        if seed_img is None:
+            y, x = np.mgrid[0:120, 0:160].astype(np.float32)
+            img = 40 + 20 * np.sin(x / rng.uniform(8, 30)) \
+                + 20 * np.cos(y / rng.uniform(8, 30))
+            for _ in range(8):
+                cy, cx = rng.uniform(10, 110), rng.uniform(10, 150)
+                r = rng.uniform(5, 25)
+                img += rng.uniform(40, 120) * np.exp(
+                    -((y - cy) ** 2 + (x - cx) ** 2) / (2 * r * r))
+            return np.clip(img, 0, 255)
+        return np.clip(seed_img + rng.normal(0, noise, seed_img.shape), 0, 255)
+
+    def test_descriptor_separates_places(self, rng):
+        from glim_tpu.ext.image_loop import _to_gray64, image_descriptor
+        a = self._scene_image(rng)
+        b = self._scene_image(rng)
+        a2 = self._scene_image(rng, seed_img=a, noise=4.0)
+        da = np.asarray(image_descriptor(jnp.asarray(_to_gray64(a))))
+        db = np.asarray(image_descriptor(jnp.asarray(_to_gray64(b))))
+        da2 = np.asarray(image_descriptor(jnp.asarray(_to_gray64(a2))))
+        assert float(da @ da2) > 0.9           # revisit: near-identical
+        assert float(da @ db) < float(da @ da2) - 0.1    # other place: lower
+
+    def test_detector_fires_on_revisit_only(self, rng):
+        from glim_tpu.ext.image_loop import ImageLoopDetector
+        det = ImageLoopDetector(exclude_recent=2)
+        fired = []
+        h = GCB.request_to_add_loop.add(lambda t, s: fired.append((t, s)))
+        try:
+            def submap(sid, stamp):
+                fr = pytypes.SimpleNamespace(stamp=stamp)
+                return SubMap(id=sid, frames=[fr])
+
+            imgs = [self._scene_image(rng) for _ in range(4)]
+            for sid in range(4):
+                det._on_image(float(sid), imgs[sid])
+                det._on_new_submap(submap(sid, float(sid)))
+            assert not fired
+            revisit = self._scene_image(rng, seed_img=imgs[0], noise=4.0)
+            det._on_image(4.0, revisit)
+            det._on_new_submap(submap(4, 4.0))
+            assert fired == [(0, 4)]
+        finally:
+            GCB.request_to_add_loop.remove(h)
+            det.detach()
+
+    def test_no_image_no_crash(self):
+        from glim_tpu.ext.image_loop import ImageLoopDetector
+        det = ImageLoopDetector()
+        try:
+            det._on_new_submap(SubMap(id=0, frames=[]))
+            assert det.descriptors == []
+        finally:
+            det.detach()
+
+    def test_insert_image_fans_out_to_callbacks(self):
+        """Base-class insert_image fires the extension hook
+        (reference: global_mapping_base.cpp:14-16)."""
+        from glim_tpu.mapping.global_mapping_base import GlobalMappingBase
+        from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks
+        from glim_tpu.odometry.estimation_base import OdometryEstimationBase
+        got = []
+        h1 = GCB.on_insert_image.add(lambda t, im: got.append(("g", t)))
+        h2 = OdometryEstimationCallbacks.on_insert_image.add(
+            lambda t, im: got.append(("o", t)))
+        try:
+            GlobalMappingBase().insert_image(1.5, np.zeros((4, 4)))
+            OdometryEstimationBase().insert_image(2.5, np.zeros((4, 4)))
+            assert got == [("g", 1.5), ("o", 2.5)]
+        finally:
+            GCB.on_insert_image.remove(h1)
+            OdometryEstimationCallbacks.on_insert_image.remove(h2)
