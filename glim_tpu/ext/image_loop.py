@@ -50,14 +50,28 @@ def _to_gray64(image: np.ndarray) -> np.ndarray:
     if img.ndim == 3:
         img = img.mean(axis=2)
     img = img.astype(np.float32)
-    h, w = img.shape
-    if h < _SIZE or w < _SIZE:   # tiny inputs: nearest upsample
-        img = img[np.minimum((np.arange(_SIZE) * h) // _SIZE, h - 1)][:,
-                  np.minimum((np.arange(_SIZE) * w) // _SIZE, w - 1)]
-        return img
-    bh, bw = h // _SIZE, w // _SIZE
-    img = img[:bh * _SIZE, :bw * _SIZE]
-    return img.reshape(_SIZE, bh, _SIZE, bw).mean(axis=(1, 3))
+
+    # Full-field strided resample: floor-cropping would discard up to half
+    # the field of view at common small resolutions (e.g. 120x160), making
+    # descriptors viewpoint-fragile.
+    def resample_axis(a, n, axis):
+        size = a.shape[axis]
+        if size <= n:   # nearest upsample
+            idx = np.minimum((np.arange(n) * size) // n, size - 1)
+            return np.take(a, idx, axis=axis)
+        # Variable-size block average over bin edges spanning the full axis.
+        edges = (np.arange(n + 1) * size) // n
+        csum = np.cumsum(a, axis=axis)
+        csum = np.concatenate([np.zeros_like(np.take(csum, [0], axis=axis)),
+                               csum], axis=axis)
+        hi = np.take(csum, edges[1:], axis=axis)
+        lo = np.take(csum, edges[:-1], axis=axis)
+        cnt = (edges[1:] - edges[:-1]).astype(np.float32)
+        shape = [1, 1]
+        shape[axis] = n
+        return (hi - lo) / cnt.reshape(shape)
+
+    return resample_axis(resample_axis(img, _SIZE, 0), _SIZE, 1)
 
 
 @jax.jit
@@ -110,6 +124,8 @@ class ImageLoopDetector(ExtensionModule):
         self.exclude_recent = exclude_recent
         self.image_buffer = image_buffer
         self._images: List[Tuple[float, np.ndarray]] = []   # (stamp, gray64)
+        import threading
+        self._images_lock = threading.Lock()
         self.descriptors: List[np.ndarray] = []
         self.submap_ids: List[int] = []
         self.matches: List[tuple] = []                       # (tgt, src, sim)
@@ -126,19 +142,30 @@ class ImageLoopDetector(ExtensionModule):
     # -- image stream --
 
     def _on_image(self, stamp: float, image) -> None:
+        if hasattr(image, "to_array"):   # undecoded ImageMsg
+            image = image.to_array()
         try:
             gray = _to_gray64(image)
-        except Exception:
+        except Exception as e:
+            logger.warning("image conversion failed (%s %s): %s",
+                           type(image).__name__,
+                           getattr(image, "shape", "?"), e)
             return
-        self._images.append((float(stamp), gray))
-        if len(self._images) > self.image_buffer:
-            self._images.pop(0)
+        # on_insert_image may fire on the caller thread while _image_for
+        # runs on the mapping worker; guard the buffer (the reference
+        # instead queues images to the worker, async_global_mapping.cpp:33).
+        with self._images_lock:
+            self._images.append((float(stamp), gray))
+            if len(self._images) > self.image_buffer:
+                self._images.pop(0)
 
     def _image_for(self, stamp: float) -> Optional[np.ndarray]:
-        if not self._images:
+        with self._images_lock:
+            images = list(self._images)
+        if not images:
             return None
-        i = int(np.argmin([abs(s - stamp) for s, _ in self._images]))
-        s, gray = self._images[i]
+        i = int(np.argmin([abs(s - stamp) for s, _ in images]))
+        s, gray = images[i]
         return gray if abs(s - stamp) < 5.0 else None
 
     # -- detection --

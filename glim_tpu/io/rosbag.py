@@ -194,6 +194,70 @@ class ImuMsg:
     linear_acceleration: np.ndarray  # (3,)
 
 
+@dataclass
+class ImageMsg:
+    """Duck-typed sensor_msgs/Image with an encoding-aware array decoder."""
+
+    stamp: float
+    frame_id: str
+    height: int
+    width: int
+    encoding: str
+    is_bigendian: bool
+    step: int
+    data: bytes
+
+    def to_array(self) -> np.ndarray:
+        """Decode to (H, W) or (H, W, C) numpy (uint8/uint16/float32)."""
+        return image_msg_to_array(self)
+
+
+# Channel count + dtype per common sensor_msgs image encoding.
+_IMAGE_ENCODINGS = {
+    "mono8": (1, np.uint8), "8uc1": (1, np.uint8),
+    "mono16": (1, np.uint16), "16uc1": (1, np.uint16),
+    "rgb8": (3, np.uint8), "bgr8": (3, np.uint8), "8uc3": (3, np.uint8),
+    "rgba8": (4, np.uint8), "bgra8": (4, np.uint8), "8uc4": (4, np.uint8),
+    "32fc1": (1, np.float32),
+    "bayer_rggb8": (1, np.uint8), "bayer_bggr8": (1, np.uint8),
+    "bayer_gbrg8": (1, np.uint8), "bayer_grbg8": (1, np.uint8),
+}
+
+
+def image_msg_to_array(msg) -> np.ndarray:
+    """Encoding-aware sensor_msgs/Image -> numpy, for both the bag reader's
+    ImageMsg and live rclpy messages (same attribute surface). Raises
+    ValueError on unknown encodings rather than guessing."""
+    enc = str(getattr(msg, "encoding", "mono8")).lower()
+    if enc not in _IMAGE_ENCODINGS:
+        raise ValueError(f"unsupported image encoding {enc!r}")
+    ch, dtype = _IMAGE_ENCODINGS[enc]
+    h, w = int(msg.height), int(msg.width)
+    step = int(getattr(msg, "step", 0)) or w * ch * np.dtype(dtype).itemsize
+    buf = np.frombuffer(bytes(msg.data), np.uint8).reshape(h, step)
+    row_bytes = w * ch * np.dtype(dtype).itemsize
+    img = buf[:, :row_bytes].reshape(h, -1).view(dtype)
+    if getattr(msg, "is_bigendian", False) and np.dtype(dtype).itemsize > 1:
+        img = img.byteswap()
+    img = img.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def decode_image(payload: bytes, fmt: str = "cdr") -> ImageMsg:
+    r = CdrReader(payload, ros1=(fmt == "ros1"))
+    h = _read_header(r)
+    height = r.uint32()
+    width = r.uint32()
+    encoding = r.string()
+    is_bigendian = bool(r.uint8())
+    step = r.uint32()
+    data = r.bytes_seq()
+    return ImageMsg(stamp=h.stamp.sec + h.stamp.nanosec * 1e-9,
+                    frame_id=h.frame_id, height=height, width=width,
+                    encoding=encoding, is_bigendian=is_bigendian,
+                    step=step, data=data)
+
+
 def decode_imu(payload: bytes, fmt: str = "cdr") -> ImuMsg:
     r = CdrReader(payload, ros1=(fmt == "ros1"))
     h = _read_header(r)
@@ -487,8 +551,10 @@ def bag_topics(path: str) -> dict:
 
 
 def iter_sensor_messages(path: str, points_topic: Optional[str] = None,
-                         imu_topic: Optional[str] = None):
-    """Yield ('points', RawPoints) / ('imu', ImuMsg) in bag time order.
+                         imu_topic: Optional[str] = None,
+                         image_topic: Optional[str] = None):
+    """Yield ('points', RawPoints) / ('imu', ImuMsg) / ('image', ImageMsg)
+    in bag time order.
 
     Topics are auto-discovered from message types when not given."""
     from glim_tpu.ros.cloud_converter import extract_raw_points
@@ -504,3 +570,6 @@ def iter_sensor_messages(path: str, points_topic: Optional[str] = None,
         elif base.endswith("sensor_msgs/Imu") and \
                 (imu_topic is None or topic == imu_topic):
             yield "imu", decode_imu(payload, fmt)
+        elif base.endswith("sensor_msgs/Image") and \
+                (image_topic is None or topic == image_topic):
+            yield "image", decode_image(payload, fmt)

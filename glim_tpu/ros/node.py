@@ -20,7 +20,6 @@ extension_modules, imu/points/image topics, *_qos depth.
 
 from __future__ import annotations
 
-import collections
 import threading
 from typing import Any, List, Optional
 
@@ -28,12 +27,11 @@ import numpy as np
 
 from glim_tpu.ros import messages as rosmsg
 from glim_tpu.ros.cloud_converter import extract_raw_points, to_sec
+from glim_tpu.ros.conditioning import GRAVITY, ImuConditioner
 from glim_tpu.ros.extension_module_ros import ExtensionModuleROS
 from glim_tpu.utils.logging import create_module_logger
 
 logger = create_module_logger("ros")
-
-GRAVITY = 9.80665
 
 
 class RosNodeParams:
@@ -92,8 +90,9 @@ class GlimROSNode:
                             extension_modules=self.params.extension_modules,
                             overrides=overrides)
 
-        self._acc_scale = self.params.acc_scale  # 0 -> auto-detect below
-        self._acc_norms: collections.deque = collections.deque(maxlen=100)
+        # acc_scale=0 -> auto-detect (shared with glim_runner bag playback).
+        self._imu_cond = ImuConditioner(self.params.acc_scale,
+                                        self.params.imu_time_offset)
         self._lock = threading.Lock()
         self._latest: Optional[tuple] = None  # (stamp, T_odom_sensor, cov)
 
@@ -146,18 +145,8 @@ class GlimROSNode:
             fid = getattr(getattr(msg, "header", None), "frame_id", "")
             if fid:
                 self.params.imu_frame_id = fid
-        if self._acc_scale == 0.0:
-            self._acc_norms.append(float(np.linalg.norm(acc)))
-            if len(self._acc_norms) < 10:
-                return  # not enough evidence yet; skip instead of mis-scaling
-            med = float(np.median(self._acc_norms))
-            # Livox publishes acceleration in g; everything else in m/s^2
-            # (reference: config_ros.json "Set to 9.80665 for Livox sensors").
-            self._acc_scale = GRAVITY if 0.5 < med < 2.0 else 1.0
-            logger.info("auto-detected acc_scale=%.5f (median |acc|=%.3f)",
-                        self._acc_scale, med)
-        self.glim.insert_imu(stamp + self.params.imu_time_offset,
-                             self._acc_scale * acc, gyro)
+        for sample in self._imu_cond.condition(stamp, acc, gyro):
+            self.glim.insert_imu(*sample)
 
     def points_callback(self, msg) -> None:
         raw = extract_raw_points(msg)
@@ -173,7 +162,16 @@ class GlimROSNode:
 
     def image_callback(self, msg) -> None:
         stamp = to_sec(getattr(getattr(msg, "header", None), "stamp", None))
-        self.glim.insert_image(stamp, msg)
+        # Decode the ROS Image to a numpy array before fan-out so extension
+        # consumers (e.g. the image loop detector) see pixel data, not a raw
+        # serialized message.
+        from glim_tpu.io.rosbag import image_msg_to_array
+        try:
+            image = image_msg_to_array(msg)
+        except Exception as e:
+            logger.warning("image decode failed (%s); forwarding raw msg", e)
+            image = msg
+        self.glim.insert_image(stamp, image)
 
     # -- publishing --
 

@@ -105,14 +105,31 @@ def main(argv=None):
     if stream_bag:
         # Direct bag playback (the reference's glim_rosbag): messages
         # stream through in recorded order, throttled by workload().
+        # Sensor conditioning — acc_scale g-unit auto-detection and the
+        # imu/points time offsets from config_ros — is applied exactly as
+        # the live node applies it (the reference routes glim_rosbag
+        # through the same GlimROS wrapper as glim_rosnode).
         from glim_tpu.io.rosbag import iter_sensor_messages
+        from glim_tpu.ros.conditioning import ImuConditioner
+        ros_cfg = glim.config.get_config("config_ros")
+        g = lambda k, d: ros_cfg.param("glim_ros", k, d)  # noqa: E731
+        imu_cond = ImuConditioner(float(g("acc_scale", 0.0)),
+                                  float(g("imu_time_offset", 0.0)))
+        points_time_offset = float(g("points_time_offset", 0.0))
         for kind, msg in iter_sensor_messages(args.dataset,
                                               args.points_topic,
                                               args.imu_topic):
             if kind == "imu":
-                glim.insert_imu(msg.stamp, msg.linear_acceleration,
-                                msg.angular_velocity)
+                for sample in imu_cond.condition(msg.stamp,
+                                                 msg.linear_acceleration,
+                                                 msg.angular_velocity):
+                    glim.insert_imu(*sample)
                 continue
+            if kind == "image":
+                glim.insert_image(msg.stamp, msg.to_array())
+                continue
+            if points_time_offset != 0.0:
+                msg.stamp = msg.stamp + points_time_offset
             glim.insert_frame(msg)
             n += 1
             while glim.workload() > args.max_workload:

@@ -22,6 +22,9 @@ def main(argv=None):
                         metavar="MIN_OVERLAP")
     p_open.add_argument("--ply", default=None)
     p_open.add_argument("--save", default=None)
+    p_open.add_argument("--config", default=None,
+                        help="config_viewer.json for render hints "
+                             "(defaults to the dump's config snapshot)")
 
     p_merge = sub.add_parser("merge")
     p_merge.add_argument("dumps", nargs="+")
@@ -39,7 +42,11 @@ def main(argv=None):
 
     if args.cmd in ("open", "merge"):
         from glim_tpu.viewer.offline_viewer import OfflineViewer
-        ov = OfflineViewer()
+        config = None
+        if getattr(args, "config", None):
+            from glim_tpu.utils.config import Config
+            config = Config(args.config)
+        ov = OfflineViewer(config=config)
         if args.cmd == "open":
             ov.open_map(args.dump)
             if args.find_loops is not None:

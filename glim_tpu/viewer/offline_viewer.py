@@ -27,8 +27,12 @@ class OfflineViewer:
         self.global_mapping = GlobalMapping(self.params)
         self._sessions = 0
         # Rendering hints (reference config_viewer.json:23-39
-        # "interactive_viewer" section); exported alongside PLY/TUM dumps
+        # "interactive_viewer" section); exported alongside PLY/dump saves
         # for external renderers, like StandardViewer.render_hints.
+        self._hints_from_config = config is not None
+        self._load_hints(config)
+
+    def _load_hints(self, config) -> None:
         g = (lambda k, d: config.param("interactive_viewer", k, d)) if config \
             else (lambda k, d: d)
         self.render_hints = dict(
@@ -45,7 +49,23 @@ class OfflineViewer:
             viewer_height=int(g("viewer_height", 1440)),
         )
 
+    def _write_hints(self, dir_path: str) -> None:
+        import json
+        import os
+        os.makedirs(dir_path, exist_ok=True)
+        with open(os.path.join(dir_path, "render_hints.json"), "w") as f:
+            json.dump(self.render_hints, f, indent=2)
+
     def open_map(self, dump_path: str) -> None:
+        # Adopt the dump's config snapshot's viewer hints if this viewer was
+        # constructed without a config (reference: OfflineViewer re-reads
+        # GlobalConfig from dump/config, offline_viewer.cpp:82-120).
+        if not self._hints_from_config:
+            import os
+            snap = os.path.join(dump_path, "config", "config_viewer.json")
+            if os.path.exists(snap):
+                from glim_tpu.utils.config import Config
+                self._load_hints(Config(snap))
         self.global_mapping.load(dump_path, session_offset=self._sessions)
         self._sessions += 1
 
@@ -92,8 +112,11 @@ class OfflineViewer:
 
     def save(self, path: str) -> None:
         self.global_mapping.save(path)
+        self._write_hints(path)
 
     def export_ply(self, path: str) -> None:
+        import os
         pts = self.global_mapping.export_points()
         export_ply(path, pts)
+        self._write_hints(os.path.dirname(os.path.abspath(path)))
         logger.info("exported %d points to %s", len(pts), path)

@@ -116,7 +116,7 @@ class TestGlimROSNode:
                                            times=raw.times))
             gn.spin_once()
 
-        assert gn._acc_scale == pytest.approx(GRAVITY)
+        assert gn._imu_cond.acc_scale == pytest.approx(GRAVITY)
         # Frame ids auto-detected from message headers.
         assert gn.params.imu_frame_id == "imu_link"
         assert gn.params.lidar_frame_id == "os_lidar"

@@ -437,14 +437,25 @@ def test_glim_runner_direct_bag_playback(tmp_path, monkeypatch):
     assert glim_runner._is_bag(str(tmp_path))        # dir containing the bag
     assert not glim_runner._is_bag(os.path.join(tmp_path, "nope"))
 
-    calls = {"imu": 0, "frames": [], "saved": []}
+    calls = {"imu": 0, "acc": [], "frames": [], "images": [], "saved": []}
+
+    class StubConfig:
+        def get_config(self, name):
+            return self
+
+        def param(self, module, key, default=None):
+            return default
 
     class StubGlim:
         def __init__(self, config_path=None, async_mode=True):
-            pass
+            self.config = StubConfig()
 
         def insert_imu(self, t, acc, gyro):
             calls["imu"] += 1
+            calls["acc"].append(np.asarray(acc))
+
+        def insert_image(self, t, image):
+            calls["images"].append(image)
 
         def insert_frame(self, raw):
             calls["frames"].append(raw)
