@@ -4,7 +4,10 @@ Equivalent layout to the reference's dump directory (reference:
 src/glim/mapping/global_mapping.cpp:546-635, mapping/sub_map.cpp:24-204):
 
   dump/
-    graph.txt            — manifest (num_submaps, factor summary)
+    graph.txt            — manifest in the REFERENCE token layout
+                           (num_submaps / num_all_frames /
+                           num_matching_cost_factors + "matching_cost
+                           <type> <i> <j>" rows, global_mapping.cpp:576-598)
     graph.npz            — factor graph (replaces boost graph.bin/values.bin
                            with a documented numpy archive; SURVEY.md §7
                            Phase 7 "documented equivalent + loader")
@@ -13,11 +16,19 @@ src/glim/mapping/global_mapping.cpp:546-635, mapping/sub_map.cpp:24-204):
     traj_lidar.txt       — globally optimized trajectories
     traj_imu.txt
     000000/ ...          — per-submap dirs: data.txt (text metadata in the
-                           reference's key layout) + points.npy
+                           reference's key layout) + the cloud in
+                           gtsam_points' compact binary format
+                           (points_compact.bin / covs_compact.bin ...,
+                           sub_map.cpp:61 frame->save_compact)
     config/              — snapshot of every live config file
 
 TUM rows are "stamp x y z qx qy qz qw" exactly as the reference writes them,
-so evo-style tooling works unchanged.
+so evo-style tooling works unchanged. The loader ALSO reads real GLIM
+dumps: gtsam_points full-precision clouds (points.bin, Vector4d) and
+reference graph.txt manifests without a graph.npz (factor reconstruction
+then falls to GlobalMapping.recover_graph, as the reference does when
+graph.bin fails to deserialize, global_mapping.cpp:770-787). Legacy
+glim_tpu dumps with points.npy payloads remain loadable.
 """
 
 from __future__ import annotations
@@ -69,9 +80,17 @@ def save_submap(path: str, submap: SubMap) -> None:
             f.write("v_world_imu: " + " ".join(str(x) for x in fr.v_world_imu) + "\n")
 
     if submap.frame is not None and submap.frame.points is not None:
+        from glim_tpu.io.gtsam_points_io import save_point_cloud_compact
         mask = np.asarray(submap.frame.mask)
-        np.save(os.path.join(path, "points.npy"),
-                np.asarray(submap.frame.points)[mask])
+
+        def valid(attr):
+            v = getattr(submap.frame, attr)
+            return np.asarray(v)[mask] if v is not None else None
+
+        save_point_cloud_compact(path, np.asarray(submap.frame.points)[mask],
+                                 covs=valid("covs"), normals=valid("normals"),
+                                 times=valid("times"),
+                                 intensities=valid("intensities"))
     with open(os.path.join(path, "imu_rate.txt"), "w") as f:
         for fr in submap.frames:
             if fr.imu_rate_trajectory is None:
@@ -82,8 +101,12 @@ def save_submap(path: str, submap: SubMap) -> None:
 
 def load_submap(path: str) -> SubMap:
     """Inverse of save_submap (metadata + points; frames restored as
-    pose-only clones)."""
-    from glim_tpu.types import EstimationFrame, PointBatch
+    pose-only clones). Reads both glim_tpu dumps and REFERENCE dumps:
+    the data.txt token layout matches sub_map.cpp:24-62 exactly, and the
+    point payload may be gtsam_points compact (points_compact.bin) or
+    full-precision (points.bin) binary clouds, or the legacy glim_tpu
+    points.npy."""
+    from glim_tpu.types import EstimationFrame, FrameID, PointBatch
 
     sm = SubMap()
     mats: Dict[str, np.ndarray] = {}
@@ -91,6 +114,8 @@ def load_submap(path: str) -> SubMap:
     odom_frames: List[EstimationFrame] = []
     cur: Optional[EstimationFrame] = None
     cur_odom: Optional[EstimationFrame] = None
+    imu_bias: Optional[np.ndarray] = None
+    frame_id: Optional[FrameID] = None
 
     with open(os.path.join(path, "data.txt")) as f:
         lines = [l.rstrip("\n") for l in f]
@@ -104,7 +129,8 @@ def load_submap(path: str) -> SubMap:
 
     while i < len(lines):
         line = lines[i]
-        if line.startswith("frame_") and ":" not in line:
+        stripped = line.strip()
+        if stripped.startswith("frame_") and ":" not in stripped:
             if cur is not None:
                 frames.append(cur)
                 odom_frames.append(cur_odom)
@@ -112,8 +138,8 @@ def load_submap(path: str) -> SubMap:
             cur_odom = EstimationFrame()
             i += 1
             continue
-        if line.endswith(": "):          # matrix marker
-            name = line[:-2]
+        if stripped.endswith(":"):       # matrix marker ("name: " + endl)
+            name = stripped[:-1].strip()
             M, i2 = read_matrix(i + 1)
             i = i2
             if cur is None:
@@ -125,6 +151,7 @@ def load_submap(path: str) -> SubMap:
             continue
         if ":" in line:
             key, _, val = line.partition(":")
+            key = key.strip()
             val = val.strip()
             if key == "id" and cur is None:
                 sm.id = int(val)
@@ -133,7 +160,13 @@ def load_submap(path: str) -> SubMap:
             elif key == "stamp":
                 cur.stamp = float(val)
             elif key == "imu_bias" and cur is None:
-                pass
+                imu_bias = np.array([float(x) for x in val.split()])
+            elif key == "frame_id" and cur is None:
+                # Reference writes the FrameID enum as an int
+                # (sub_map.cpp:36); glim_tpu writes the name.
+                by_int = {0: FrameID.WORLD, 1: FrameID.LIDAR, 2: FrameID.IMU}
+                frame_id = (by_int[int(val)] if val.lstrip("-").isdigit()
+                            else FrameID(val))
             elif key == "v_world_imu":
                 cur.v_world_imu = np.array([float(x) for x in val.split()])
         i += 1
@@ -144,13 +177,38 @@ def load_submap(path: str) -> SubMap:
     sm.T_world_origin = mats.get("T_world_origin", np.eye(4))
     sm.T_origin_endpoint_L = mats.get("T_origin_endpoint_L", np.eye(4))
     sm.T_origin_endpoint_R = mats.get("T_origin_endpoint_R", np.eye(4))
+    T_lidar_imu = mats.get("T_lidar_imu")
+    for fr, odom in zip(frames, odom_frames):
+        if T_lidar_imu is not None:
+            fr.T_lidar_imu = T_lidar_imu
+            odom.T_lidar_imu = T_lidar_imu
+            if fr.T_world_lidar is not None:
+                fr.T_world_imu = fr.T_world_lidar @ T_lidar_imu
+            if odom.T_world_lidar is not None:
+                odom.T_world_imu = odom.T_world_lidar @ T_lidar_imu
+        if imu_bias is not None:
+            fr.imu_bias = imu_bias.copy()
+            odom.imu_bias = imu_bias.copy()
+        if frame_id is not None:
+            fr.frame_id = frame_id
+            odom.frame_id = frame_id
+        odom.id = fr.id
+        odom.stamp = fr.stamp
+        odom.v_world_imu = fr.v_world_imu
     sm.frames = frames
     sm.odom_frames = odom_frames
 
-    pts_path = os.path.join(path, "points.npy")
-    if os.path.exists(pts_path):
-        from glim_tpu.types import PointBatch as PB
-        sm.frame = PB.from_numpy(np.load(pts_path))
+    from glim_tpu.io import gtsam_points_io as gpio
+    if gpio.has_point_cloud(path):
+        cloud = gpio.load_point_cloud(path)
+        sm.frame = PointBatch.from_numpy(
+            cloud["points"], covs=cloud.get("covs"),
+            normals=cloud.get("normals"), times=cloud.get("times"),
+            intensities=cloud.get("intensities"))
+        repair_submap(sm, path)
+    elif os.path.exists(os.path.join(path, "points.npy")):
+        sm.frame = PointBatch.from_numpy(
+            np.load(os.path.join(path, "points.npy")))
         repair_submap(sm, path)
     return sm
 
@@ -201,15 +259,17 @@ def save_dump(path: str, submaps: List[SubMap], poses: List[np.ndarray],
     """Full dump directory (reference: global_mapping.cpp:546-635)."""
     os.makedirs(path, exist_ok=True)
 
+    # graph.txt manifest in the REFERENCE token layout
+    # (global_mapping.cpp:576-598): matching-cost factors are the
+    # non-serializable ones, listed by type and endpoint submap indices.
     with open(os.path.join(path, "graph.txt"), "w") as f:
         f.write(f"num_submaps: {len(submaps)}\n")
         n_frames = sum(len(s.frames) for s in submaps)
         f.write(f"num_all_frames: {n_frames}\n")
-        nf = len(factors["i"]) if factors else 0
-        f.write(f"num_factors: {nf}\n")
-        if factors:
-            for i, j in zip(factors["i"], factors["j"]):
-                f.write(f"between {i} {j}\n")
+        matching_pairs = factors.get("matching", []) if factors else []
+        f.write(f"num_matching_cost_factors: {len(matching_pairs)}\n")
+        for i, j in matching_pairs:
+            f.write(f"matching_cost vgicp {i} {j}\n")
 
     if factors:
         matching = np.asarray(factors.get("matching", []), np.int32).reshape(-1, 2)
@@ -271,6 +331,24 @@ def load_dump(path: str):
     factors = None
     poses = [sm.T_world_origin for sm in submaps]
     gp = os.path.join(path, "graph.npz")
+    if not os.path.exists(gp):
+        # Reference dump: no graph.npz — reconstruct what the manifest
+        # records (matching_cost rows, global_mapping.cpp:576-598). Between
+        # factors lived in the boost graph.bin and cannot be read; the
+        # caller recovers them via GlobalMapping.recover_graph, exactly as
+        # the reference does when graph.bin fails to deserialize
+        # (global_mapping.cpp:770-787).
+        manifest = os.path.join(path, "graph.txt")
+        matching = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                for line in f:
+                    tok = line.split()
+                    if len(tok) == 4 and tok[0] == "matching_cost":
+                        matching.append((int(tok[2]), int(tok[3])))
+        if matching:
+            factors = dict(i=[], j=[], Z=[], info=[], huber=[],
+                           matching=matching, translation_priors=[])
     if os.path.exists(gp):
         z = np.load(gp)
         factors = dict(i=list(z["i"]), j=list(z["j"]), Z=list(z["Z"]),
