@@ -240,29 +240,34 @@ def global_gn(poses0, junc0,
 
 def pad_stack(items, pad_to: int, template=None):
     """Stack a list of identically-shaped device/numpy arrays and pad the
-    leading axis to ``pad_to`` with zeros (or the template entry)."""
+    leading axis to ``pad_to`` with zeros (or the template entry).
+
+    The item LIST is padded to ``pad_to`` before the stack so the device
+    concat program's shape depends only on the (bucketized) pad_to, never on
+    the exact item count — otherwise every new factor/submap count compiles
+    a fresh trivial program (minutes each on remoted compile services)."""
     if not items:
         assert template is not None
         z = jnp.zeros_like(jnp.asarray(template))
         return jnp.tile(z[None], (pad_to,) + (1,) * z.ndim)
-    arr = jnp.stack([jnp.asarray(x) for x in items])
-    if len(items) < pad_to:
-        pad = [(0, pad_to - len(items))] + [(0, 0)] * (arr.ndim - 1)
-        arr = jnp.pad(arr, pad)
-    return arr
+    arrs = [jnp.asarray(x) for x in items]
+    if len(arrs) < pad_to:
+        zero = jnp.zeros_like(arrs[0])
+        arrs = arrs + [zero] * (pad_to - len(arrs))
+    return jnp.stack(arrs)
 
 
 def pad_stack_tree(trees, pad_to: int, zero_tree):
-    """Stack a list of pytrees (e.g. PreintegratedImu) with zero padding."""
+    """Stack a list of pytrees (e.g. PreintegratedImu) with zero padding.
+    Like pad_stack, pads the list before stacking so program shapes are
+    keyed by the bucket, not the exact count."""
     import jax.tree_util as jtu
     if not trees:
         return jtu.tree_map(
             lambda z: jnp.tile(jnp.zeros_like(z)[None], (pad_to,) + (1,) * z.ndim),
             zero_tree)
-    stacked = jtu.tree_map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                           *trees)
     if len(trees) < pad_to:
-        stacked = jtu.tree_map(
-            lambda a: jnp.pad(a, [(0, pad_to - len(trees))] + [(0, 0)] * (a.ndim - 1)),
-            stacked)
-    return stacked
+        zt = jtu.tree_map(lambda x: jnp.zeros_like(jnp.asarray(x)), trees[0])
+        trees = list(trees) + [zt] * (pad_to - len(trees))
+    return jtu.tree_map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                        *trees)

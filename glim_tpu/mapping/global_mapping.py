@@ -71,6 +71,10 @@ class GlobalMappingParams:
     optimization_interval_submaps: int = 1   # sync-path gating
     relinearize_trans: float = 0.2     # correspondence-refresh thresholds
     relinearize_rot: float = 0.05
+    # Shard the matching-factor axis of global_gn over the device mesh when
+    # more than one accelerator is attached (the always-on analogue of the
+    # reference's CUDA-stream fan-out, odometry_estimation_gpu.cpp:139-147).
+    use_device_mesh: bool = True
 
     @staticmethod
     def from_config(config) -> "GlobalMappingParams":
@@ -91,6 +95,7 @@ class GlobalMappingParams:
         p.max_implicit_loop_distance = g("max_implicit_loop_distance", 100.0)
         p.min_implicit_loop_overlap = g("min_implicit_loop_overlap", 0.2)
         p.optimization_interval_submaps = int(g("optimization_interval_submaps", 1))
+        p.use_device_mesh = bool(g("use_device_mesh", True))
         return p
 
 
@@ -136,6 +141,29 @@ class GlobalMapping(GlobalMappingBase):
         self.translation_priors: List[tuple] = []
         self._new_loop_since_opt = False
         self._last_opt_count = 0
+        # Factor-axis device mesh: when more than one chip is attached, the
+        # matching-factor linearization in global_gn shard_maps over it by
+        # default — no caller plumbing required (the reference's GPU fan-out
+        # is equally always-on). Power-of-two device count so every padded
+        # factor bucket (all powers of two >= 8) divides evenly.
+        # Incrementally-maintained padded device stacks for optimize():
+        # rebuilding the (Sp, M, 12) submap-cloud and (Fp, M, 13)
+        # correspondence stacks from scratch on every solve dominates
+        # optimize wall once the map grows; appends and refreshed rows are
+        # written in place with .at[row].set instead.
+        self._sm_stack = None
+        self._match_stack = None
+        self._match_dirty: set = set()
+        self._mesh = None
+        if self.params.use_device_mesh:
+            import jax
+            n = len(jax.devices())
+            if n > 1:
+                from glim_tpu.parallel.sharded import make_mesh
+                n2 = 1 << (n.bit_length() - 1)
+                self._mesh = make_mesh(min(n2, 8), axis="factors")
+                logger.info("global_gn matching factors sharded over %d "
+                            "devices", self._mesh.size)
 
     # -- insertion --
 
@@ -150,8 +178,25 @@ class GlobalMapping(GlobalMappingBase):
         with profile_scope("global/insert_submap"):
             self._insert_submap_impl(submap)
 
+    def _ensure_covs(self, submap: SubMap) -> None:
+        """Guarantee the submap frame carries per-point covariances — the
+        matching-cost factors are Mahalanobis-weighted and degenerate to
+        no-ops with zero covs. Submaps from the full SubMapping arrive with
+        merged covs; passthrough submaps and dumps loaded without covariance
+        payloads get them re-estimated here (the reference re-estimates
+        covariances on load when missing/corrupt, sub_map.cpp:149-199)."""
+        if submap.frame.covs is not None:
+            return
+        from glim_tpu.ops import covariance as cov_ops
+        from glim_tpu.ops import knn
+        nbr, _ = knn.knn_banded(submap.frame.points, submap.frame.mask, 10)
+        covs, _ = cov_ops.estimate_covariances(submap.frame.points,
+                                               submap.frame.mask, nbr, "plane")
+        submap.frame.covs = covs
+
     def _insert_submap_impl(self, submap: SubMap) -> None:
         CB.on_insert_submap(submap)
+        self._ensure_covs(submap)
         p = self.params
         i = len(self.submaps)
         T_odom = np.asarray(submap.T_world_origin, np.float64)
@@ -348,10 +393,11 @@ class GlobalMapping(GlobalMappingBase):
         beyond the relinearization threshold (iSAM2-style lazy relin)."""
         p = self.params
         n = 0
-        for (tgt, src) in self.matching_factors:
+        for fi, (tgt, src) in enumerate(self.matching_factors):
             cache = self._f_cache.get((tgt, src))
             if cache is None:
                 self._f_cache[(tgt, src)] = self._lookup_factor(tgt, src)
+                self._match_dirty.add(fi)
                 n += 1
                 continue
             T_rel = np.linalg.inv(self.poses[tgt]) @ self.poses[src]
@@ -359,6 +405,7 @@ class GlobalMapping(GlobalMappingBase):
             if (np.linalg.norm(d[3:]) > p.relinearize_trans
                     or np.linalg.norm(d[:3]) > p.relinearize_rot):
                 self._f_cache[(tgt, src)] = self._lookup_factor(tgt, src)
+                self._match_dirty.add(fi)
                 n += 1
         return n
 
@@ -399,6 +446,74 @@ class GlobalMapping(GlobalMappingBase):
 
     # -- optimization --
 
+    def _sm_stacks(self, Sp: int, M: int):
+        """Padded (Sp, M, 3)/(Sp, M, 3, 3) submap-cloud stacks, maintained
+        incrementally — submap slices are append-only, so after the first
+        build only new rows are written (one .at[i].set dispatch each)."""
+        S = len(self._m_pts)
+        st = self._sm_stack
+        if st is None or st["Sp"] != Sp:
+            st = dict(Sp=Sp, n=S,
+                      pts=pad_stack(self._m_pts, Sp,
+                                    np.zeros((M, 3), np.float32)),
+                      covs=pad_stack(self._m_covs, Sp,
+                                     np.zeros((M, 3, 3), np.float32)))
+        else:
+            for i in range(st["n"], S):
+                st["pts"] = st["pts"].at[i].set(self._m_pts[i])
+                st["covs"] = st["covs"].at[i].set(self._m_covs[i])
+            st["n"] = S
+        self._sm_stack = st
+        return st["pts"], st["covs"]
+
+    def _match_stacks(self, Fp: int, L: int, M: int):
+        """Padded correspondence stacks (f_mu/f_ct/f_hit), maintained
+        incrementally: appends write new rows, correspondence refreshes
+        rewrite exactly the stale rows. Keyed by the factor-pair tuple so
+        external edits to matching_factors (recover tooling, tests) that
+        break the append-only prefix force a clean rebuild."""
+        key = tuple(self.matching_factors)
+        zero_mu = np.zeros((M, 3), np.float32)
+        zero_ct = np.zeros((M, 3, 3), np.float32)
+        zero_hit = np.zeros((M,), bool)
+
+        def levels_of(pair):
+            c = self._f_cache.get(pair)
+            if c is None:     # externally added pair: search on demand
+                c = self._lookup_factor(pair[0], pair[1])
+                self._f_cache[pair] = c
+            return c["levels"][:L]
+
+        st = self._match_stack
+        if (st is not None and (st["Fp"] != Fp or st["L"] != L
+                                or st["key"] != key[:len(st["key"])])):
+            st = None
+        if st is None:
+            lvl_caches = []
+            for pair in key:
+                lvl_caches.extend(levels_of(pair))
+            st = dict(
+                Fp=Fp, L=L, key=key,
+                f_mu=pad_stack([mu for mu, _, _ in lvl_caches], Fp, zero_mu),
+                f_ct=pad_stack([ct for _, ct, _ in lvl_caches], Fp, zero_ct),
+                f_hit=pad_stack([h for _, _, h in lvl_caches], Fp, zero_hit))
+            self._match_dirty.clear()
+        else:
+            todo = sorted(set(self._match_dirty)
+                          | set(range(len(st["key"]), len(key))))
+            for p_idx in todo:
+                if p_idx >= len(key):
+                    continue
+                for lvl, (mu, ct, hit) in enumerate(levels_of(key[p_idx])):
+                    row = p_idx * L + lvl
+                    st["f_mu"] = st["f_mu"].at[row].set(mu)
+                    st["f_ct"] = st["f_ct"].at[row].set(ct)
+                    st["f_hit"] = st["f_hit"].at[row].set(hit)
+            st["key"] = key
+            self._match_dirty.clear()
+        self._match_stack = st
+        return st["f_mu"], st["f_ct"], st["f_hit"]
+
     def _padded_args(self):
         """Assemble the padded stacked arrays for global_gn."""
         p = self.params
@@ -425,21 +540,8 @@ class GlobalMapping(GlobalMappingBase):
                            for _ in range(L)], Fp, np.int32(0))
         f_w = pad_stack([np.float32(1.0)] * (F * L), Fp, np.float32(0.0))
         M = int(self._m_pts[0].shape[0])
-        zero_mu = np.zeros((M, 3), np.float32)
-        zero_ct = np.zeros((M, 3, 3), np.float32)
-        zero_hit = np.zeros((M,), bool)
-        lvl_caches = []
-        for (t, sidx) in self.matching_factors:
-            c = self._f_cache.get((t, sidx))
-            if c is None:     # externally added pair: search on demand
-                c = self._lookup_factor(t, sidx)
-                self._f_cache[(t, sidx)] = c
-            lvl_caches.extend(c["levels"][:L])
-        f_mu = pad_stack([mu for mu, _, _ in lvl_caches], Fp, zero_mu)
-        f_ct = pad_stack([ct for _, ct, _ in lvl_caches], Fp, zero_ct)
-        f_hit = pad_stack([hit for _, _, hit in lvl_caches], Fp, zero_hit)
-        sm_pts = pad_stack(self._m_pts, Sp, zero_mu)
-        sm_covs = pad_stack(self._m_covs, Sp, zero_ct)
+        f_mu, f_ct, f_hit = self._match_stacks(Fp, L, M)
+        sm_pts, sm_covs = self._sm_stacks(Sp, M)
 
         b_i = pad_stack([np.int32(f[0]) for f in self.between_factors], Bp,
                         np.int32(0))
@@ -530,6 +632,8 @@ class GlobalMapping(GlobalMappingBase):
 
     def _optimize_impl(self, mesh=None) -> None:
         p = self.params
+        if mesh is None:
+            mesh = self._mesh
         N = len(self.submaps)
         if N < 2:
             return
@@ -537,7 +641,14 @@ class GlobalMapping(GlobalMappingBase):
         self._new_loop_since_opt = False
         self._last_opt_count = N
 
-        for round_ in range(2):
+        # Outer loop: damped-GN solve + correspondence refresh, repeated
+        # until the cache is quiescent (iSAM2's relinearize-until-converged
+        # sweep). Large loop-closure corrections move poses several voxels,
+        # invalidating correspondences cached at the pre-closure estimate —
+        # one refresh round cannot track them. Converged maps exit after a
+        # single solve + one (cheap) refresh check.
+        max_rounds = 6
+        for round_ in range(max_rounds):
             args, dims = self._padded_args()
             T_fin, junc_fin, err, min_diag = global_gn(
                 **args, **dims, iters=p.lm_iterations, shard_mesh=mesh)
@@ -572,8 +683,8 @@ class GlobalMapping(GlobalMappingBase):
                 juncs = np.asarray(junc_fin, np.float64)
                 self.junction_states = [juncs[k] for k in range(J)]
             # iSAM2-style relinearization sweep: if poses moved enough to
-            # invalidate cached correspondences, refresh and re-solve once.
-            if round_ == 0 and self._refresh_stale_factors() > 0:
+            # invalidate cached correspondences, refresh and re-solve.
+            if round_ < max_rounds - 1 and self._refresh_stale_factors() > 0:
                 continue
             break
         CB.on_smoother_update_result(self, dict(error=float(err)))
@@ -609,20 +720,90 @@ class GlobalMapping(GlobalMappingBase):
                 logger.info("found overlapping pair %d <-> %d (%.2f)", j, i, ov)
 
     def recover_graph(self) -> None:
-        """Connectivity repair (reference :918-1049): re-chain poses from
-        odometry where a submap lost all factors."""
-        connected = set()
+        """Graph reconstruction after corruption (reference :918-1049).
+
+        The reference's recovery does three things we mirror here:
+        (1) detect and repair broken VALUES — non-finite or missing poses are
+        re-chained from the odometry deltas of the nearest intact neighbor;
+        (2) re-create lost matching-cost FACTORS from connectivity analysis:
+        every submap whose factor count fell to zero gets its overlap
+        re-evaluated against all distance-gated candidates (one stacked
+        device fetch) and matching factors re-registered above the implicit
+        loop threshold; (3) submaps that remain isolated after the overlap
+        sweep fall back to odometry-chained between factors so the graph
+        stays connected for the next optimize."""
+        p = self.params
+        N = len(self.submaps)
+        if N == 0:
+            return
+
+        # (1) value repair: re-chain non-finite poses from odometry.
+        for k in range(N):
+            if not np.all(np.isfinite(self.poses[k])):
+                if k == 0:
+                    self.poses[0] = self.odom_poses[0].copy()
+                else:
+                    dZ = np.linalg.inv(self.odom_poses[k - 1]) @ self.odom_poses[k]
+                    self.poses[k] = self.poses[k - 1] @ dZ
+                self.submaps[k].T_world_origin = self.poses[k].copy()
+                logger.warning("recover_graph: repaired pose of submap %d", k)
+
+        # Drop factors that reference broken data (out-of-range indices,
+        # non-finite measurements) before the connectivity count.
+        self.matching_factors = [(t, s) for (t, s) in self.matching_factors
+                                 if 0 <= t < N and 0 <= s < N and t != s]
+        self.between_factors = [
+            f for f in self.between_factors
+            if 0 <= f[0] < N and 0 <= f[1] < N
+            and np.all(np.isfinite(f[2])) and np.all(np.isfinite(f[3]))]
+
+        # (2) connectivity analysis + overlap re-evaluation for factor-less
+        # submaps (reference re-creates matching-cost factors from the
+        # connectivity of surviving values + fresh overlap checks).
+        degree = np.zeros(N, np.int32)
         for (i, j) in self.matching_factors:
-            connected.add(i)
-            connected.add(j)
+            degree[i] += 1
+            degree[j] += 1
         for (i, j, _, _) in self.between_factors:
-            connected.add(i)
-            connected.add(j)
-        for k in range(1, len(self.submaps)):
-            if k not in connected:
+            degree[i] += 1
+            degree[j] += 1
+        orphans = [k for k in range(N) if degree[k] == 0]
+        existing = set(self.matching_factors)
+        pairs = []
+        for k in orphans:
+            pk = self.poses[k][:3, 3]
+            for j in range(N):
+                if j == k:
+                    continue
+                a, b = (j, k) if j < k else (k, j)
+                if (a, b) in existing or (b, a) in existing:
+                    continue
+                if np.linalg.norm(self.poses[j][:3, 3] - pk) \
+                        <= p.max_implicit_loop_distance:
+                    pairs.append((a, b))
+        pairs = sorted(set(pairs))
+        if pairs:
+            ov_devs = [vmx.voxelmap_overlap(
+                self.voxelmaps[t][0], self._m_pts[s], self._m_mask[s],
+                jnp.asarray(np.linalg.inv(self.poses[t]) @ self.poses[s],
+                            jnp.float32)) for t, s in pairs]
+            ov_devs += [ov_devs[0]] * (bucket(len(ov_devs)) - len(ov_devs))
+            ovs = np.asarray(jnp.stack(ov_devs))[:len(pairs)]
+            for (t, s), ov in zip(pairs, ovs):
+                if ov >= p.min_implicit_loop_overlap:
+                    self._register_matching_factor(t, s)
+                    degree[t] += 1
+                    degree[s] += 1
+                    logger.info("recover_graph: matching factor %d <-> %d "
+                                "re-created (overlap %.2f)", t, s, ov)
+
+        # (3) odometry re-chain for submaps still isolated.
+        for k in range(1, N):
+            if degree[k] == 0:
                 dZ = np.linalg.inv(self.odom_poses[k - 1]) @ self.odom_poses[k]
                 self.between_factors.append((k - 1, k, dZ, np.eye(6) * 100.0))
                 logger.warning("recover_graph: re-chained submap %d", k)
+        self._new_loop_since_opt = True
 
     # -- output --
 
@@ -658,6 +839,7 @@ class GlobalMapping(GlobalMappingBase):
         for sm, T in zip(submaps, poses):
             sm.id = base + sm.id
             sm.session_id = session_offset
+            self._ensure_covs(sm)
             self.submaps.append(sm)
             self.poses.append(np.asarray(T, np.float64))
             self.odom_poses.append(np.asarray(T, np.float64))

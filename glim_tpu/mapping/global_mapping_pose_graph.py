@@ -304,7 +304,16 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
 
         covs = submap.frame.covs
         if covs is None:
-            covs = jnp.zeros(submap.frame.points.shape[:1] + (3, 3), jnp.float32)
+            # GICP/VGICP registration eval is Mahalanobis-weighted: zero
+            # covariances make every candidate evaluation a no-op, so
+            # re-estimate them (as the reference does for covariance-less
+            # loads, sub_map.cpp:149-199).
+            from glim_tpu.ops import covariance as cov_ops
+            from glim_tpu.ops import knn
+            nbr, _ = knn.knn_banded(submap.frame.points, submap.frame.mask, 10)
+            covs, _ = cov_ops.estimate_covariances(
+                submap.frame.points, submap.frame.mask, nbr, "plane")
+            submap.frame.covs = covs
         # Registration slice: subsample_target bounds the per-candidate
         # registration/validation cost (reference :262-268).
         C = int(submap.frame.points.shape[0])

@@ -104,18 +104,23 @@ class SubMappingParams:
 
 
 @partial(jax.jit, static_argnames=("k_max", "out_cap"))
-def _merge_keyframes(kf_points, kf_masks, kf_T_origin_kf, kf_valid, resolution,
-                     *, k_max: int, out_cap: int):
-    """Transform up to k_max keyframe clouds into the origin frame and
-    voxel-grid downsample into one padded submap cloud."""
+def _merge_keyframes(kf_points, kf_covs, kf_masks, kf_T_origin_kf, kf_valid,
+                     resolution, *, k_max: int, out_cap: int):
+    """Transform up to k_max keyframe clouds (points + covariances) into the
+    origin frame and voxel-grid downsample into one padded submap cloud.
+    Covariances ride through the merge (rotated, voxel-averaged) — the
+    merged frame is the global backend's matching source, and a VGICP factor
+    with zero source/target covariances is a no-op (Mahalanobis weight
+    inv(0) = 0), so dropping them here would silently disable every implicit
+    loop-closure factor downstream."""
     R = kf_T_origin_kf[:, :3, :3]
     t = kf_T_origin_kf[:, :3, 3]
     pts = jnp.einsum("kij,kcj->kci", R, kf_points) + t[:, None, :]
+    covs = jnp.einsum("kij,kcjl,kml->kcim", R, kf_covs, R)
     mask = kf_masks & kf_valid[:, None]
-    flat_pts = pts.reshape(-1, 3)
-    flat_mask = mask.reshape(-1)
-    return pointops.voxelgrid_sampling(flat_pts, flat_mask, resolution,
-                                       out_capacity=out_cap)
+    return pointops.voxelgrid_sampling_covs(
+        pts.reshape(-1, 3), covs.reshape(-1, 3, 3), mask.reshape(-1),
+        resolution, out_capacity=out_cap)
 
 
 @jax.jit
@@ -573,7 +578,7 @@ class SubMapping(SubMappingBase):
         self.keyframes.append(dict(
             fidx=current, T=frame.T_world_sensor(), id=frame.id,
             pts=s_pts, covs=s_covs, mask=s_mask,
-            full_pts=pts, full_mask=mask, vms=vms))
+            full_pts=pts, full_covs=covs, full_mask=mask, vms=vms))
 
     def _refine(self) -> Optional[tuple]:
         """Batch LM over all frame states (submap_refine). Returns
@@ -698,11 +703,13 @@ class SubMapping(SubMappingBase):
         k_max = p.max_num_keyframes
         C = int(self.keyframes[0]["full_pts"].shape[0])
         kf_pts = jnp.zeros((k_max, C, 3), jnp.float32)
+        kf_cvs = jnp.zeros((k_max, C, 3, 3), jnp.float32)
         kf_msk = jnp.zeros((k_max, C), bool)
         kf_T = jnp.tile(jnp.eye(4), (k_max, 1, 1))
         kf_valid = np.zeros(k_max, bool)
         for i, kf in enumerate(self.keyframes[:k_max]):
             kf_pts = kf_pts.at[i].set(kf["full_pts"])
+            kf_cvs = kf_cvs.at[i].set(kf["full_covs"])
             kf_msk = kf_msk.at[i].set(kf["full_mask"])
             kf_T = kf_T.at[i].set(jnp.asarray(
                 T_origin_world @ poses[kf["fidx"]], jnp.float32))
@@ -710,9 +717,10 @@ class SubMapping(SubMappingBase):
 
         out_cap = min(p.submap_point_capacity,
                       int(2 ** np.ceil(np.log2(max(p.submap_target_num_points, 1024)))))
-        m_pts, m_mask = _merge_keyframes(kf_pts, kf_msk, kf_T, jnp.asarray(kf_valid),
-                                         jnp.float32(p.submap_downsample_resolution),
-                                         k_max=k_max, out_cap=out_cap)
+        m_pts, m_covs, m_mask = _merge_keyframes(
+            kf_pts, kf_cvs, kf_msk, kf_T, jnp.asarray(kf_valid),
+            jnp.float32(p.submap_downsample_resolution),
+            k_max=k_max, out_cap=out_cap)
 
         T_first = self.frames[0].T_world_sensor()
         T_last = self.frames[-1].T_world_sensor()
@@ -721,7 +729,7 @@ class SubMapping(SubMappingBase):
             T_world_origin=T_world_origin,
             T_origin_endpoint_L=T_origin_world @ T_first,
             T_origin_endpoint_R=T_origin_world @ T_last,
-            frame=PointBatch(points=m_pts, mask=m_mask),
+            frame=PointBatch(points=m_pts, mask=m_mask, covs=m_covs),
             frames=self.frames,
             odom_frames=self.odom_frames,
         )

@@ -125,6 +125,44 @@ def voxelgrid_sampling(points: jnp.ndarray, mask: jnp.ndarray, resolution,
     return out_pts, out_mask
 
 
+def voxelgrid_sampling_covs(points: jnp.ndarray, covs: jnp.ndarray,
+                            mask: jnp.ndarray, resolution,
+                            out_capacity: Optional[int] = None
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Voxel-grid downsampling that carries per-point covariances: one
+    centroid per occupied voxel with the voxel-mean covariance (the
+    gtsam_points ``merge_frames`` semantics — points AND covs are averaged
+    per voxel, reference mapping/sub_mapping.cpp:454-500 merged submap).
+
+    Returns (out_points (C', 3), out_covs (C', 3, 3), out_mask (C',)).
+    """
+    C = points.shape[0]
+    out_c = out_capacity or C
+    coords = voxel_coords(points, 1.0 / resolution)
+    h = jnp.where(mask, hash_coords(coords), INVALID_HASH)
+    order = _order_by(h, coords)
+    pts_s = points[order]
+    covs_s = covs[order]
+    coords_s = coords[order]
+    h_s = h[order]
+    valid_s = mask[order]
+
+    starts = _segment_starts(h_s, coords_s, valid_s)
+    seg_id = jnp.cumsum(starts) - 1
+    num_segs = jnp.sum(starts)
+
+    # One fused 13-wide payload: [1, p(3), C(9)].
+    payload = jnp.concatenate([jnp.ones_like(pts_s[:, :1]), pts_s,
+                               covs_s.reshape(-1, 9)], axis=1)
+    payload = jnp.where(valid_s[:, None], payload, 0.0)
+    seg = jax.ops.segment_sum(payload, seg_id, num_segments=out_c)
+    cnt = jnp.maximum(seg[:, 0], 1.0)
+    out_pts = seg[:, 1:4] / cnt[:, None]
+    out_covs = seg[:, 4:13].reshape(-1, 3, 3) / cnt[:, None, None]
+    out_mask = (jnp.arange(out_c) < num_segs) & (seg[:, 0] > 0)
+    return out_pts, out_covs, out_mask
+
+
 @jax.jit
 def randomgrid_sampling(points: jnp.ndarray, mask: jnp.ndarray, resolution,
                         target, rng: jax.Array

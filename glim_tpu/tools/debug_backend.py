@@ -123,7 +123,8 @@ def _odom_ate(state):
     return evaluate_trajectory(est, gt, align=True)
 
 
-def run_backend(state, params=None, label="", optimize_each=True):
+def run_backend(state, params=None, label="", optimize_each=True,
+                final_optimize=True):
     import copy
 
     from glim_tpu.mapping.global_mapping import (GlobalMapping,
@@ -140,8 +141,9 @@ def run_backend(state, params=None, label="", optimize_each=True):
             gm.insert_imu(imu[idx, 0], imu[idx, 1:4], imu[idx, 4:7])
             idx += 1
         gm.insert_submap(sm)
-    gm.params.enable_optimization = True
-    gm.optimize()
+    if final_optimize:
+        gm.params.enable_optimization = True
+        gm.optimize()
     el = time.perf_counter() - t0
     m = _global_ate(gm, state)
     print(f"[sweep] {label}: global ATE {m.ate_rmse:.4f} m  rot "
@@ -158,6 +160,7 @@ def sweep(state_path: str, which="all"):
     from glim_tpu.mapping.global_mapping import GlobalMappingParams
 
     configs = {
+        "no_opt": None,     # odometry-chained poses, no optimization
         "default": GlobalMappingParams(voxel_capacity=65536),
         "no_imu": GlobalMappingParams(voxel_capacity=65536, enable_imu=False),
         "fine_voxel": GlobalMappingParams(voxel_capacity=65536,
@@ -173,7 +176,11 @@ def sweep(state_path: str, which="all"):
     if which != "all":
         configs = {k: v for k, v in configs.items() if k in which.split(",")}
     for label, p in configs.items():
-        run_backend(state, p, label)
+        if label == "no_opt":
+            run_backend(state, None, label, optimize_each=False,
+                        final_optimize=False)
+        else:
+            run_backend(state, p, label)
 
 
 def main(argv=None):

@@ -100,7 +100,71 @@ class TestGlobalMapping:
         gm.matching_factors = [f for f in gm.matching_factors if 2 not in f]
         gm.between_factors = [f for f in gm.between_factors if f[1] != 2]
         gm.recover_graph()
-        assert any(f[1] == 2 for f in gm.between_factors)
+        # Overlap re-evaluation re-creates matching-cost factors (all
+        # submaps observe the same world here), so the orphan reconnects
+        # through the implicit-loop path, not just an odometry re-chain.
+        assert any(2 in f for f in gm.matching_factors) \
+            or any(f[1] == 2 for f in gm.between_factors)
+
+    def test_recover_graph_repairs_broken_pose(self, rng):
+        gm, _, odom = self.build(rng, n_submaps=3, enable_optimization=False)
+        gm.poses[1] = np.full((4, 4), np.nan)
+        gm.recover_graph()
+        assert np.all(np.isfinite(gm.poses[1]))
+        # Re-chained from odometry through the intact neighbor.
+        dZ_exp = np.linalg.inv(gm.odom_poses[0]) @ gm.odom_poses[1]
+        np.testing.assert_allclose(gm.poses[1], gm.poses[0] @ dZ_exp,
+                                   atol=1e-9)
+
+    def test_recover_graph_from_corrupted_dump(self, rng, tmp_path):
+        """Reference-depth recovery (global_mapping.cpp:918-1049): corrupt a
+        saved graph (drop >30% of factors, including every factor touching
+        one submap), reload, recover, re-optimize — accuracy lands within 2x
+        of the uncorrupted run."""
+        drift = np.array([0, 0, 0.005, 0.08, 0.05, 0.0])
+        gm, true_poses, odom = self.build(rng, drift_xi=drift, n_submaps=4,
+                                          create_between_factors=True)
+        err_clean = np.linalg.norm(gm.poses[-1][:3, 3] - true_poses[-1][:3, 3])
+        d = str(tmp_path / "dump")
+        gm.save(d)
+
+        # Corrupt graph.npz in place: drop every factor touching submap 2
+        # plus enough of the rest to exceed 30% total loss.
+        import os as _os
+        gp = _os.path.join(d, "graph.npz")
+        z = dict(np.load(gp, allow_pickle=True))
+        keep_b = [k for k in range(len(z["i"]))
+                  if z["i"][k] != 2 and z["j"][k] != 2][:1]
+        matching = [p for p in z["matching"] if 2 not in p]
+        n_before = len(z["i"]) + len(z["matching"])
+        matching = matching[:max(len(matching) - 2, 0)]
+        for key, sel in (("i", keep_b), ("j", keep_b), ("Z", keep_b),
+                         ("info", keep_b), ("huber", keep_b)):
+            z[key] = np.asarray(z[key])[sel]
+        z["matching"] = np.asarray(matching, np.int32).reshape(-1, 2)
+        n_after = len(z["i"]) + len(z["matching"])
+        assert n_after <= 0.7 * n_before
+        np.savez(gp, **z)
+
+        gm2 = GlobalMapping(GlobalMappingParams(
+            submap_voxel_resolution=0.5, voxel_capacity=16384,
+            min_implicit_loop_overlap=0.2, enable_optimization=False))
+        gm2.load(d)
+        assert not any(2 in f for f in gm2.matching_factors)
+        gm2.recover_graph()
+        # Submap 2's matching factors were re-created from overlap
+        # re-evaluation (everything observes the same world).
+        assert any(2 in f for f in gm2.matching_factors)
+        gm2.params.enable_optimization = True
+        # Poses reloaded from the dump are already optimized; re-seed them
+        # with the drifted odometry chain so the re-optimization has real
+        # work to redo on the recovered graph.
+        for k in range(4):
+            gm2.poses[k] = odom[k].copy()
+        gm2._new_loop_since_opt = True
+        gm2.optimize()
+        err_rec = np.linalg.norm(gm2.poses[-1][:3, 3] - true_poses[-1][:3, 3])
+        assert err_rec <= max(err_clean * 2.0, 0.02), (err_clean, err_rec)
 
     def test_find_overlapping_submaps(self, rng):
         gm, *_ = self.build(rng, n_submaps=3, enable_optimization=False)
