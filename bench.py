@@ -69,6 +69,8 @@ def main():
         "GLIM_BENCH_E2E_BUDGET", "420")))
     e2e_async_stats = run_budgeted("e2e-async", float(os.environ.get(
         "GLIM_BENCH_E2E_ASYNC_BUDGET", "600")))
+    backend_stats = run_budgeted("backend", float(os.environ.get(
+        "GLIM_BENCH_BACKEND_BUDGET", "600")))
 
     from glim_tpu.io.synthetic import generate_sequence, ate_rmse
     from glim_tpu.odometry.odometry_estimation_cpu import (
@@ -125,7 +127,8 @@ def main():
                   "vgicp_scans_per_sec_overall": round(vgicp_overall, 2),
                   "vgicp_ate_rmse_m": round(ate, 4),
                   "n_scans": n_timed,
-                  **imu_stats, **e2e_stats, **e2e_async_stats},
+                  **imu_stats, **e2e_stats, **e2e_async_stats,
+                  **backend_stats},
     }))
 
 
@@ -262,6 +265,27 @@ def bench_e2e_async():
             "e2e_async_n_scans": n_timed}
 
 
+def bench_backend_scaling():
+    """On-chip global-mapping backend scaling: per-checkpoint insert and
+    optimize wall at 16..128 submaps on the drifting-ring stress workload
+    (tools/backend_stress.py), plus the post-loop-closure lap ATE. The
+    reference runs its backend concurrently at real time
+    (docs/quickstart.md:70-79); steady-state optimize dispatches must sit
+    well under a second for parity."""
+    from glim_tpu.tools.backend_stress import run as stress_run
+    rows = stress_run(128, 4)
+    out = {}
+    for r in rows:
+        k = r["submaps"]
+        if r.get("optimize_last_ms") is not None:
+            out[f"global_optimize_ms_{k}sm"] = round(r["optimize_last_ms"], 1)
+        out[f"global_insert_ms_{k}sm"] = round(r["insert_mean_ms"], 1)
+    if rows:
+        out["global_lap_ate_m_128sm"] = round(rows[-1]["ate_rmse_m"], 4)
+        out["global_factors_128sm"] = rows[-1]["factors"]
+    return out
+
+
 def bench_e2e_pipeline():
     """Full pipeline scans/s: preprocess -> LiDAR-IMU odometry ->
     sub-mapping -> global mapping, all synchronous in one loop (worst case —
@@ -289,6 +313,10 @@ if __name__ == "__main__":
             json.dump(stats, f)
     elif len(sys.argv) == 3 and sys.argv[1] == "--e2e-only":
         stats = bench_e2e_pipeline()
+        with open(sys.argv[2], "w") as f:
+            json.dump(stats, f)
+    elif len(sys.argv) == 3 and sys.argv[1] == "--backend-only":
+        stats = bench_backend_scaling()
         with open(sys.argv[2], "w") as f:
             json.dump(stats, f)
     else:

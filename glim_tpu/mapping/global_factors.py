@@ -129,6 +129,23 @@ def global_gn(poses0, junc0,
                                             hit & (w > 0))
             return (s.H_tt, s.H_ts, s.H_ss, s.b_t, s.b_s, s.error)
 
+        def chunked_vmap(tgt, src, mu, ct, hit, w):
+            # Bound peak HBM: a flat vmap over thousands of factor rows
+            # materializes (F, C, 3, 6) Jacobian/weight temporaries for ALL
+            # factors at once (multi-GB past the 1024-row bucket); scanning
+            # 128-row chunks keeps the MXU saturated at 1/16th the
+            # footprint.
+            n = tgt.shape[0]
+            CH = min(n, 128)
+            if n % CH != 0:
+                return jax.vmap(one)(tgt, src, mu, ct, hit, w)
+            args = jax.tree_util.tree_map(
+                lambda a: a.reshape((n // CH, CH) + a.shape[1:]),
+                (tgt, src, mu, ct, hit, w))
+            out = jax.lax.map(lambda a: jax.vmap(one)(*a), args)
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((n,) + a.shape[2:]), out)
+
         if shard_mesh is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -137,10 +154,9 @@ def global_gn(poses0, junc0,
                                P("factors"), P("factors"), P("factors")),
                      out_specs=P("factors"))
             def run(T_rep, tgt, src, mu, ct, hit, w):
-                return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(
-                    tgt, src, mu, ct, hit, w)
+                return chunked_vmap(tgt, src, mu, ct, hit, w)
             return run(T, f_tgt, f_src, f_mu, f_ct, f_hit, f_w)
-        return jax.vmap(one)(f_tgt, f_src, f_mu, f_ct, f_hit, f_w)
+        return chunked_vmap(f_tgt, f_src, f_mu, f_ct, f_hit, f_w)
 
     def linearize(T, junc):
         H = jnp.zeros((D, D))

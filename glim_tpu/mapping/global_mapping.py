@@ -69,8 +69,14 @@ class GlobalMappingParams:
     matching_weight: float = 1e-3
     matching_points: int = 4096        # per-factor source-cloud budget
     optimization_interval_submaps: int = 1   # sync-path gating
-    relinearize_trans: float = 0.2     # correspondence-refresh thresholds
-    relinearize_rot: float = 0.05
+    # Correspondence-refresh thresholds: a factor whose relative pose moved
+    # further than this since its last voxel search gets re-searched. These
+    # are the CONVERGENCE FLOOR of loop closure — corrections smaller than
+    # the threshold leave correspondences biased by up to the same amount
+    # (half a voxel at 0.4 m), so they must sit well under the voxel
+    # resolution, not at it.
+    relinearize_trans: float = 0.04
+    relinearize_rot: float = 0.01
     # Shard the matching-factor axis of global_gn over the device mesh when
     # more than one accelerator is attached (the always-on analogue of the
     # reference's CUDA-stream fan-out, odometry_estimation_gpu.cpp:139-147).
@@ -647,7 +653,7 @@ class GlobalMapping(GlobalMappingBase):
         # invalidating correspondences cached at the pre-closure estimate —
         # one refresh round cannot track them. Converged maps exit after a
         # single solve + one (cheap) refresh check.
-        max_rounds = 6
+        max_rounds = 10
         for round_ in range(max_rounds):
             args, dims = self._padded_args()
             T_fin, junc_fin, err, min_diag = global_gn(

@@ -162,6 +162,10 @@ class SubMappingPassthrough(SubMappingBase):
             frames=self.keyframes,
             odom_frames=self.odom_frames,
         )
+        # Creation-time origin (global mapping overwrites T_world_origin in
+        # place; frame poses stay in the odometry frame and are re-anchored
+        # through this for globally-optimized trajectories).
+        submap.custom_data["T_world_origin_pre"] = T_world_origin.copy()
         self.submap_count += 1
         self.keyframes = []
         self.odom_frames = []

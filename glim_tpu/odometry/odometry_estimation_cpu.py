@@ -55,8 +55,12 @@ class OdometryEstimationCPUParams:
     voxel_capacity: int = 65536              # VGICP voxels
     enable_deskew: bool = True
     twist_smoothing: float = 0.25            # EMA gain on the twist estimate
-    bootstrap_frames: int = 5                # full-density model updates early
+    bootstrap_frames: int = 8                # full-density model updates early
     update_budget: int = 2048                # model-update points per scan
+    # Startup refinement (see insert_frame): "replay" rebuilds the model from
+    # the stored bootstrap scans once the twist converges; "two_pass"
+    # additionally re-deskews+re-registers during bootstrap; "off" disables.
+    bootstrap_refine: str = "replay"
 
     @staticmethod
     def from_config(config) -> "OdometryEstimationCPUParams":
@@ -130,11 +134,13 @@ def _finish_step(state, T_new, dt, deskewed, covs, mask, *,
 
 
 @partial(jax.jit, static_argnames=("iters", "ema", "bootstrap_frames",
-                                   "update_budget", "enable_deskew"),
+                                   "update_budget", "enable_deskew",
+                                   "two_pass"),
          donate_argnums=(0,))
 def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
                      *, iters: int, ema: float, bootstrap_frames: int,
-                     update_budget: int, enable_deskew: bool):
+                     update_budget: int, enable_deskew: bool,
+                     two_pass: bool = False):
     deskewed, covs, normals, T_pred = _common_prefix(
         state, pts, times, mask, neighbors, dt, enable_deskew)
 
@@ -144,18 +150,35 @@ def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
     INNER = 2
     n_outer = max(1, iters // INNER)
 
-    def outer(T, _):
-        mu, C_t, hit = gicp.vgicp_lookup(jnp.eye(4), T, deskewed, mask, state.model)
+    def register(T0, dsk, cv):
+        def outer(T, _):
+            mu, C_t, hit = gicp.vgicp_lookup(jnp.eye(4), T, dsk, mask,
+                                             state.model)
 
-        def inner(T, _):
-            s = gicp.vgicp_linearize_cached(jnp.eye(4), T, deskewed, covs, mu, C_t, hit)
-            delta = solver.solve_damped(s.H_ss, s.b_s, jnp.float32(1e-6))
-            return T @ lie.se3_exp(delta), s.error
+            def inner(T, _):
+                s = gicp.vgicp_linearize_cached(jnp.eye(4), T, dsk, cv,
+                                                mu, C_t, hit)
+                delta = solver.solve_damped(s.H_ss, s.b_s, jnp.float32(1e-6))
+                return T @ lie.se3_exp(delta), s.error
 
-        T, errs = jax.lax.scan(inner, T, None, length=INNER)
-        return T, errs[-1]
+            T, errs = jax.lax.scan(inner, T, None, length=INNER)
+            return T, errs[-1]
 
-    T_new, errs = jax.lax.scan(outer, T_pred, None, length=n_outer)
+        return jax.lax.scan(outer, T0, None, length=n_outer)
+
+    T_new, errs = register(T_pred, deskewed, covs)
+    if two_pass and enable_deskew:
+        # Bootstrap refinement: the twist used for deskewing came from the
+        # PREVIOUS step (zero at startup), so early scans register smeared.
+        # Re-deskew with the twist implied by this very registration and
+        # register again — converged scans skip this (steady-state calls use
+        # two_pass=False).
+        twist2 = lie.se3_log(lie.se3_inv(state.T) @ T_new) \
+            / jnp.maximum(dt, 1e-4)
+        deskewed = deskew_ops.deskew_twist(pts, times, mask, twist2)
+        covs, normals = cov_ops.estimate_covariances(deskewed, mask,
+                                                     neighbors, "plane")
+        T_new, errs = register(T_new, deskewed, covs)
     new_state = _finish_step(state, T_new, dt, deskewed, covs, mask,
                              ema=ema, bootstrap_frames=bootstrap_frames,
                              update_budget=update_budget,
@@ -165,12 +188,13 @@ def _vgicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
 
 
 @partial(jax.jit, static_argnames=("iters", "ema", "bootstrap_frames",
-                                   "update_budget", "enable_deskew"),
+                                   "update_budget", "enable_deskew",
+                                   "two_pass"),
          donate_argnums=(0,))
 def _gicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
                     max_dist, *, iters: int, ema: float,
                     bootstrap_frames: int, update_budget: int,
-                    enable_deskew: bool):
+                    enable_deskew: bool, two_pass: bool = False):
     deskewed, covs, normals, T_pred = _common_prefix(
         state, pts, times, mask, neighbors, dt, enable_deskew)
     model = state.model
@@ -181,22 +205,33 @@ def _gicp_scan_step(state: OdomDeviceState, pts, times, mask, neighbors, dt,
     INNER = 2
     n_outer = max(1, iters // INNER)
 
-    def outer(T, _):
-        q = deskewed @ T[:3, :3].T + T[:3, 3]
-        idx, d2 = nn_search(q, mask, model.points, model.mask)
-        mu = model.points[idx]
-        C_t = model.covs[idx]
-        hit = mask & (d2 < max_dist * max_dist) & jnp.isfinite(d2)
+    def register(T0, dsk, cv):
+        def outer(T, _):
+            q = dsk @ T[:3, :3].T + T[:3, 3]
+            idx, d2 = nn_search(q, mask, model.points, model.mask)
+            mu = model.points[idx]
+            C_t = model.covs[idx]
+            hit = mask & (d2 < max_dist * max_dist) & jnp.isfinite(d2)
 
-        def inner(T, _):
-            s = gicp.vgicp_linearize_cached(jnp.eye(4), T, deskewed, covs, mu, C_t, hit)
-            delta = solver.solve_damped(s.H_ss, s.b_s, jnp.float32(1e-6))
-            return T @ lie.se3_exp(delta), s.error
+            def inner(T, _):
+                s = gicp.vgicp_linearize_cached(jnp.eye(4), T, dsk, cv,
+                                                mu, C_t, hit)
+                delta = solver.solve_damped(s.H_ss, s.b_s, jnp.float32(1e-6))
+                return T @ lie.se3_exp(delta), s.error
 
-        T, errs = jax.lax.scan(inner, T, None, length=INNER)
-        return T, errs[-1]
+            T, errs = jax.lax.scan(inner, T, None, length=INNER)
+            return T, errs[-1]
 
-    T_new, errs = jax.lax.scan(outer, T_pred, None, length=n_outer)
+        return jax.lax.scan(outer, T0, None, length=n_outer)
+
+    T_new, errs = register(T_pred, deskewed, covs)
+    if two_pass and enable_deskew:
+        twist2 = lie.se3_log(lie.se3_inv(state.T) @ T_new) \
+            / jnp.maximum(dt, 1e-4)
+        deskewed = deskew_ops.deskew_twist(pts, times, mask, twist2)
+        covs, normals = cov_ops.estimate_covariances(deskewed, mask,
+                                                     neighbors, "plane")
+        T_new, errs = register(T_new, deskewed, covs)
     new_state = _finish_step(state, T_new, dt, deskewed, covs, mask,
                              ema=ema, bootstrap_frames=bootstrap_frames,
                              update_budget=update_budget,
@@ -222,6 +257,13 @@ class OdometryEstimationCPU(OdometryEstimationBase):
         self.frame_count = 0
         self.last_stamp: Optional[float] = None
         self.frames: List[EstimationFrame] = []
+        # Bootstrap replay buffer: the first scans register against a model
+        # built from undeskewed data (the twist estimate starts at zero);
+        # once the twist has converged the model is rebuilt by replaying
+        # these scans (see insert_frame).
+        self._boot: List[tuple] = []
+        self._boot_done = (p.bootstrap_frames < 2 or not p.enable_deskew
+                           or p.bootstrap_refine == "off")
 
     def requires_imu(self) -> bool:
         return False
@@ -240,16 +282,26 @@ class OdometryEstimationCPU(OdometryEstimationBase):
                       bootstrap_frames=p.bootstrap_frames,
                       update_budget=p.update_budget,
                       enable_deskew=p.enable_deskew)
-        if self.use_vgicp:
-            self.state, out = _vgicp_scan_step(
-                self.state, frame.device_points, frame.device_times,
-                frame.device_mask, frame.device_neighbors,
-                jnp.float32(dt), **kwargs)
-        else:
-            self.state, out = _gicp_scan_step(
-                self.state, frame.device_points, frame.device_times,
-                frame.device_mask, frame.device_neighbors,
-                jnp.float32(dt), self._d_max_dist, **kwargs)
+        in_boot = not self._boot_done and self.frame_count < p.bootstrap_frames
+        if in_boot:
+            # Two-pass registration while the twist estimate converges.
+            kwargs["two_pass"] = p.bootstrap_refine == "two_pass"
+            self._boot.append((frame.device_points, frame.device_times,
+                               frame.device_mask, frame.device_neighbors,
+                               jnp.float32(dt)))
+        elif not self._boot_done:
+            # Twist has converged: rebuild the model by replaying the
+            # bootstrap scans — their first insertions were deskewed with a
+            # zero/immature twist and permanently smeared the map the whole
+            # run anchors to (the dominant LiDAR-only error source; the
+            # reference avoids it via the LOOSE-init LiDAR odometry warmup,
+            # loose_initial_state_estimation.cpp:27-197).
+            self._boot_done = True
+            replay = self._replay_bootstrap(kwargs)
+            if replay is not None:
+                self.state = replay
+        step = self._vgicp_dispatch if self.use_vgicp else self._gicp_dispatch
+        self.state, out = step(frame, dt, kwargs)
         T_dev, v_dev, deskewed, covs, normals, errs = out
 
         est = EstimationFrame(
@@ -278,6 +330,58 @@ class OdometryEstimationCPU(OdometryEstimationBase):
             if marginalized is not None:
                 marginalized.extend(margs)
         return est
+
+    def _vgicp_dispatch(self, frame, dt, kwargs):
+        return _vgicp_scan_step(
+            self.state, frame.device_points, frame.device_times,
+            frame.device_mask, frame.device_neighbors, jnp.float32(dt),
+            **kwargs)
+
+    def _gicp_dispatch(self, frame, dt, kwargs):
+        return _gicp_scan_step(
+            self.state, frame.device_points, frame.device_times,
+            frame.device_mask, frame.device_neighbors, jnp.float32(dt),
+            self._d_max_dist, **kwargs)
+
+    def _replay_bootstrap(self, kwargs) -> Optional[OdomDeviceState]:
+        """Re-run the stored bootstrap scans against a FRESH model, seeded
+        with the now-converged twist: every insertion is properly deskewed,
+        so the map the rest of the run registers against is sharp. One-off
+        cost of ~bootstrap_frames extra steps."""
+        if len(self._boot) < 2:
+            self._boot = []
+            return None
+        p = self.params
+        if self.use_vgicp:
+            model = vmx.empty_gaussian_voxelmap(p.voxel_capacity,
+                                                p.vgicp_resolution)
+        else:
+            model = vmx.empty_point_voxelmap(p.model_capacity,
+                                             p.ivox_min_dist,
+                                             lru_horizon=p.lru_thresh)
+        # `+ 0` copies the twist buffer: the step donates its state arg, and
+        # donating the live self.state.twist would invalidate it.
+        # T starts at exp(-twist*dt0): the step's constant-velocity predictor
+        # advances by exp(twist*dt) before registering, and with an empty
+        # model the first registration is a no-op — without the
+        # pre-compensation the replayed frame 0 would land at exp(twist*dt)
+        # instead of the identity anchor, offsetting the whole rebuilt map.
+        twist = self.state.twist + 0
+        dt0 = self._boot[0][4]
+        st = OdomDeviceState(T=lie.se3_exp(-twist * dt0), twist=twist,
+                             step=jnp.int32(0), rng=jax.random.PRNGKey(2),
+                             model=model)
+        kw = dict(kwargs, two_pass=self.params.bootstrap_refine == "two_pass")
+        for (pts, times, mask, neighbors, dt) in self._boot:
+            if self.use_vgicp:
+                st, _ = _vgicp_scan_step(st, pts, times, mask, neighbors,
+                                         dt, **kw)
+            else:
+                st, _ = _gicp_scan_step(st, pts, times, mask, neighbors,
+                                        dt, self._d_max_dist, **kw)
+        self._boot = []
+        return OdomDeviceState(T=st.T, twist=st.twist, step=st.step,
+                               rng=st.rng, model=st.model)
 
     def get_remaining_frames(self) -> List[EstimationFrame]:
         out = self.frames

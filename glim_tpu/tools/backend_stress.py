@@ -151,8 +151,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--interval", type=int, default=4)
+    ap.add_argument("--json", default=None,
+                    help="write the checkpoint rows to this file")
     args = ap.parse_args()
-    run(args.n, args.interval)
+    rows = run(args.n, args.interval)
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f)
 
 
 if __name__ == "__main__":

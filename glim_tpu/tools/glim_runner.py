@@ -76,6 +76,9 @@ def main(argv=None):
                     help="bag playback: PointCloud2 topic (auto-discovered)")
     ap.add_argument("--imu-topic", default=None,
                     help="bag playback: Imu topic (auto-discovered)")
+    ap.add_argument("--viewer-stream", default=None, metavar="FILE.jsonl",
+                    help="write a watchable run stream (replay with "
+                         "glim_tpu/viewer/watch.html or tools/watch.py)")
     args = ap.parse_args(argv)
 
     from glim_tpu.pipeline import GlimTPU
@@ -100,6 +103,14 @@ def main(argv=None):
             imu, scans = load_dataset(args.dataset)
 
     glim = GlimTPU(config_path=args.config, async_mode=True)
+    viewer = None
+    if args.viewer_stream:
+        from glim_tpu.viewer.standard_viewer import StandardViewer
+        viewer = StandardViewer(stream_path=args.viewer_stream,
+                                stream_interval=0.5)
+        print(f"viewer stream -> {args.viewer_stream} "
+              f"(open glim_tpu/viewer/watch.html, or "
+              f"python -m glim_tpu.tools.watch --stream {args.viewer_stream})")
     t0 = time.perf_counter()
     n = 0
     if stream_bag:
@@ -156,6 +167,9 @@ def main(argv=None):
     elapsed = time.perf_counter() - t0
     print(f"processed {n} scans in {elapsed:.1f}s ({n / max(elapsed, 1e-9):.2f} scans/s)")
     glim.save(args.dump)
+    if viewer is not None:
+        viewer.at_exit(args.dump)
+        viewer.detach()
     print(f"dump saved to {args.dump}")
 
 

@@ -42,7 +42,31 @@ SEQUENCES = {
 }
 
 
-def run_sequence(seq, odom_params=None, downsample=10000, pose_graph=False):
+def _make_odometry(kind, odom_params):
+    """Registry-matrix odometry factory (reference pipeline configs:
+    CMakeLists.txt:123-149 / BASELINE.json)."""
+    if kind == "flagship":
+        from glim_tpu.odometry.odometry_estimation_imu import (
+            OdometryEstimationIMU, OdometryEstimationIMUParams)
+        return OdometryEstimationIMU(
+            odom_params or OdometryEstimationIMUParams(
+                voxel_resolution=0.5, voxel_capacity=131072,
+                initialization_window_size=0.5))
+    if kind in ("cpu_gicp", "cpu_vgicp"):
+        from glim_tpu.odometry.odometry_estimation_cpu_imu import (
+            OdometryEstimationCPUIMU, OdometryEstimationCPUIMUParams)
+        return OdometryEstimationCPUIMU(OdometryEstimationCPUIMUParams(
+            registration_type="GICP" if kind == "cpu_gicp" else "VGICP",
+            voxel_capacity=131072, initialization_window_size=0.5))
+    if kind == "ct":
+        from glim_tpu.odometry.odometry_estimation_ct import (
+            OdometryEstimationCT, OdometryEstimationCTParams)
+        return OdometryEstimationCT(OdometryEstimationCTParams())
+    raise ValueError(kind)
+
+
+def run_sequence(seq, odom_params=None, downsample=10000, pose_graph=False,
+                 odometry="flagship", sub_mapping="full"):
     """Full pipeline on one sequence. Returns (metrics, scans_per_sec, extras)."""
     import jax
 
@@ -52,18 +76,20 @@ def run_sequence(seq, odom_params=None, downsample=10000, pose_graph=False):
     from glim_tpu.mapping.global_mapping_pose_graph import (
         GlobalMappingPoseGraph, GlobalMappingPoseGraphParams)
     from glim_tpu.mapping.sub_mapping import SubMapping, SubMappingParams
-    from glim_tpu.odometry.odometry_estimation_imu import (
-        OdometryEstimationIMU, OdometryEstimationIMUParams)
     from glim_tpu.preprocess.cloud_preprocessor import (CloudPreprocessor,
                                                         CloudPreprocessorParams)
 
     pp = CloudPreprocessor(CloudPreprocessorParams(
         random_downsample_target=downsample, downsample_resolution=0.25))
-    odom = OdometryEstimationIMU(odom_params or OdometryEstimationIMUParams(
-        voxel_resolution=0.5, voxel_capacity=131072,
-        initialization_window_size=0.5))
-    sub = SubMapping(SubMappingParams(max_num_keyframes=8,
-                                      keyframe_update_min_points=256))
+    odom = _make_odometry(odometry, odom_params)
+    if sub_mapping == "passthrough":
+        from glim_tpu.mapping.sub_mapping_passthrough import (
+            SubMappingPassthrough, SubMappingPassthroughParams)
+        sub = SubMappingPassthrough(SubMappingPassthroughParams(
+            max_num_keyframes=20, submap_target_num_points=20000))
+    else:
+        sub = SubMapping(SubMappingParams(max_num_keyframes=8,
+                                          keyframe_update_min_points=256))
     if pose_graph:
         gm = GlobalMappingPoseGraph(GlobalMappingPoseGraphParams(
             min_travel_dist=20.0, max_neighbor_dist=6.0))
@@ -92,8 +118,9 @@ def run_sequence(seq, odom_params=None, downsample=10000, pose_graph=False):
         for sm in sub.get_submaps():
             gm.insert_submap(sm)
         if si == n_warm:
-            if odom.window is not None:
-                jax.block_until_ready(odom.window.T)
+            win = getattr(odom, "window", None)
+            if win is not None:
+                jax.block_until_ready(win.T)
             t0 = time.perf_counter()
     for m in odom.get_remaining_frames():
         if m.stamp > (margs[-1].stamp if margs else -1):
@@ -140,6 +167,9 @@ def main(argv=None):
     ap.add_argument("--duration", type=float, default=20.0)
     ap.add_argument("--sequences", default=",".join(SEQUENCES))
     ap.add_argument("--window-study", action="store_true")
+    ap.add_argument("--matrix", action="store_true",
+                    help="sweep the registry matrix (odometry x sub_mapping "
+                         "x global backend) and emit an ATE table per combo")
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--azimuth", type=int, default=512)
     ap.add_argument("--imu-noise", type=float, default=0.02)
@@ -165,6 +195,34 @@ def main(argv=None):
         rows.append((name, m, gmet, sps, extra))
         print(f"[eval] {name}: {m.summary()} | {sps:.2f} scans/s", flush=True)
 
+    matrix_rows = []
+    if args.matrix:
+        # Registry matrix: every supported pipeline combination (reference
+        # CMakeLists.txt:123-149 module libraries x BASELINE.json configs).
+        seq = generate_raycast_sequence(
+            duration=min(duration, 12.0), path="figure8", scene="room",
+            speed=2.5, n_channels=args.channels, n_azimuth=args.azimuth,
+            imu_noise=args.imu_noise,
+            imu_bias=np.array([0.03, -0.02, 0.01, 0.002, -0.001, 0.001]),
+            seed=42, extent=14.0)
+        for od in ("flagship", "cpu_gicp", "cpu_vgicp", "ct"):
+            for sm in ("full", "passthrough"):
+                for gb in ("matching", "pose_graph"):
+                    label = f"{od} / {sm} / {gb}"
+                    try:
+                        m, gmet, sps, extra = run_sequence(
+                            seq, odometry=od, sub_mapping=sm,
+                            pose_graph=(gb == "pose_graph"))
+                        matrix_rows.append((label, m, gmet, sps, extra))
+                        print(f"[matrix] {label}: ATE {m.ate_rmse:.4f} "
+                              f"(global {gmet.ate_rmse:.4f})"
+                              if gmet else
+                              f"[matrix] {label}: ATE {m.ate_rmse:.4f}",
+                              flush=True)
+                    except Exception as e:
+                        matrix_rows.append((label, None, None, None, str(e)))
+                        print(f"[matrix] {label}: FAILED ({e})", flush=True)
+
     study_rows = []
     if args.window_study:
         seq = generate_raycast_sequence(
@@ -184,15 +242,22 @@ def main(argv=None):
             print(f"[study] {label}: ATE {m.ate_rmse:.4f} m, {sps:.2f} scans/s",
                   flush=True)
 
-    # Preserve manually-maintained trailing sections (e.g. the backend
-    # scaling study, which is produced by tools/backend_stress.py, not by
-    # this runner) across regenerations.
+    # Preserve sections not regenerated by THIS invocation (the backend
+    # scaling study comes from tools/backend_stress.py; the registry matrix
+    # only from --matrix runs) across regenerations.
+    def _section(text, header):
+        k = text.find(header)
+        if k < 0:
+            return ""
+        end = text.find("\n## ", k + 1)
+        return text[k:] if end < 0 else text[k:end]
+
     preserved = ""
     if os.path.exists(args.out):
         old = open(args.out).read()
-        k = old.find("\n## Backend scaling")
-        if k >= 0:
-            preserved = old[k:]
+        if not args.matrix:
+            preserved += _section(old, "\n## Registry matrix")
+        preserved += _section(old, "\n## Backend scaling")
 
     with open(args.out, "w") as f:
         f.write("# EVAL — accuracy & throughput on raycast benchmark "
@@ -225,6 +290,21 @@ def main(argv=None):
                     "geometry, odometry drift accumulates over the lap, and "
                     "the implicit loop closures in global mapping must pull "
                     "the ring back together.\n")
+        if matrix_rows:
+            f.write("\n## Registry matrix (figure8_room)\n\n")
+            f.write("Every supported pipeline combination from the module "
+                    "registry (reference CMakeLists.txt:123-149: odometry x "
+                    "sub_mapping x global backend):\n\n")
+            f.write("| odometry / sub_mapping / global | ATE RMSE [m] | "
+                    "global ATE [m] | scans/s | submaps |\n"
+                    "|---|---|---|---|---|\n")
+            for label, m, gmet, sps, extra in matrix_rows:
+                if m is None:
+                    f.write(f"| {label} | FAILED | - | - | - |\n")
+                    continue
+                gate = f"{gmet.ate_rmse:.4f}" if gmet else "-"
+                f.write(f"| {label} | {m.ate_rmse:.4f} | {gate} | "
+                        f"{sps:.2f} | {extra['n_submaps']} |\n")
         if study_rows:
             f.write("\n## Drift vs window size (aggressive figure-8)\n\n")
             f.write("| window | ATE RMSE [m] | scans/s |\n|---|---|---|\n")

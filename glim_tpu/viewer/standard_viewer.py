@@ -43,7 +43,8 @@ def _batch_bytes(batch) -> int:
 
 
 class StandardViewer(ExtensionModule):
-    def __init__(self, report_interval: float = 10.0, config=None):
+    def __init__(self, report_interval: float = 10.0, config=None,
+                 stream_path=None, stream_interval=None):
         self.report_interval = report_interval
         # Rendering hints (reference standard_viewer.cpp:70-100 GUI knobs:
         # point size/shape/alpha, z-range coloring, partial-rendering
@@ -76,6 +77,20 @@ class StandardViewer(ExtensionModule):
         self.num_marginalized = 0
         self.frame_bytes = 0
         self.last_report = time.time()
+        # Watchable-run stream (reference standard_viewer_callbacks.cpp
+        # drawables -> .jsonl lines replayed by viewer/watch.html).
+        self.stream = None
+        sp = stream_path if stream_path is not None else g("stream_path", None)
+        if sp:
+            from glim_tpu.viewer.stream_writer import ViewerStream
+            self.stream = ViewerStream(str(sp),
+                                       scan_budget=int(g("stream_scan_budget",
+                                                         1024)))
+        self.stream_interval = float(
+            stream_interval if stream_interval is not None
+            else g("stream_interval", 1.0))
+        self._last_stream = 0.0
+        self._stream_odom_mark = 0
         self._handles = []
         self._wire()
 
@@ -104,6 +119,10 @@ class StandardViewer(ExtensionModule):
             self.odom_stamps.append(frame.stamp)
             self.trajectory.add_odom(frame.stamp, T)
             self.frame_bytes += _batch_bytes(frame.frame)
+        if (self.stream is not None
+                and time.time() - self._last_stream >= self.stream_interval):
+            self._last_stream = time.time()
+            self._emit_stream(frame)
         if time.time() - self.last_report > self.report_interval:
             self.last_report = time.time()
             logger.info("viewer: %d frames, %d keyframes, %d submaps, ~%.1f MB frame data",
@@ -132,6 +151,33 @@ class StandardViewer(ExtensionModule):
                                                   last.T_world_origin
                                                   @ last.T_origin_endpoint_R)
 
+    def _emit_stream(self, frame) -> None:
+        """One stream line: new odometry poses since the last line, all
+        (corrected) submap poses, the current scan in the world frame."""
+        scan_world = None
+        try:
+            batch = frame.frame
+            if batch is not None and batch.points is not None:
+                pts = np.asarray(batch.points)
+                msk = np.asarray(batch.mask)
+                pts = pts[msk]
+                budget = self.stream.scan_budget
+                if len(pts) > budget:
+                    pts = pts[:: max(1, len(pts) // budget)]
+                T = frame.T_world_sensor()
+                scan_world = (T[:3, :3] @ pts.T).T + T[:3, 3]
+        except Exception:    # stream must never break the pipeline
+            pass
+        with self._lock:
+            odom_new = self.odom_poses[self._stream_odom_mark:]
+            self._stream_odom_mark = len(self.odom_poses)
+            submaps = [T.copy() for T in self.submap_poses]
+            stats = dict(frames=len(self.odom_poses),
+                         keyframes=self.num_keyframes,
+                         submaps=len(self.submap_poses),
+                         mb=round(self.frame_bytes / 1e6, 1))
+        self.stream.emit(frame.stamp, odom_new, submaps, scan_world, stats)
+
     # -- outputs --
 
     def snapshot(self) -> Dict:
@@ -157,6 +203,8 @@ class StandardViewer(ExtensionModule):
                 for t, T in zip(self.odom_stamps, self.odom_poses):
                     v = se3_to_tum(T)
                     f.write(f"{t:.9f} " + " ".join(f"{x:.6f}" for x in v) + "\n")
+        if self.stream is not None:
+            self.stream.close()
 
 
 @register_module("extension", "standard_viewer")

@@ -108,6 +108,95 @@ class TestViewerModules:
         finally:
             sv.detach()
 
+    def test_viewer_stream_written_and_replayable(self, rng, tmp_path):
+        """The watchable-run artifact: StandardViewer streams .jsonl lines
+        (trajectory tail, submap poses, world-frame scan) that watch.html /
+        tools/watch.py replay (reference StandardViewer drawables,
+        standard_viewer_callbacks.cpp)."""
+        import json
+        import os
+
+        import jax.numpy as jnp
+
+        from glim_tpu.mapping.callbacks import SubMappingCallbacks
+        from glim_tpu.odometry.callbacks import OdometryEstimationCallbacks as CB
+        from glim_tpu.types import EstimationFrame, PointBatch, SubMap
+
+        stream = str(tmp_path / "run.jsonl")
+        sv = StandardViewer(report_interval=1e9, stream_path=stream,
+                            stream_interval=0.0)
+        try:
+            pts = jnp.asarray(rng.uniform(-2, 2, (64, 3)).astype(np.float32))
+            mask = jnp.ones(64, bool)
+            for i in range(3):
+                T = np.eye(4)
+                T[0, 3] = float(i)
+                CB.on_new_frame(EstimationFrame(
+                    id=i, stamp=0.1 * i, T_world_lidar=T,
+                    frame=PointBatch(points=pts, mask=mask)))
+            SubMappingCallbacks.on_new_submap(
+                SubMap(id=0, T_world_origin=np.eye(4),
+                       frame=PointBatch(points=pts, mask=mask)))
+            CB.on_new_frame(EstimationFrame(
+                id=3, stamp=0.3, T_world_lidar=np.eye(4),
+                frame=PointBatch(points=pts, mask=mask)))
+        finally:
+            sv.detach()
+            sv.stream.close()
+        lines = [json.loads(l) for l in open(stream) if l.strip()]
+        assert len(lines) >= 4
+        assert lines[0]["odom"] and len(lines[0]["odom"][0]) == 7
+        assert "scan" in lines[0] and len(lines[0]["scan"][0]) == 3
+        # The submap created between lines shows up in the later line.
+        assert len(lines[-1]["submaps"]) == 1
+        assert lines[-1]["stats"]["frames"] == 4
+        # The replay page ships next to the stream writer.
+        html = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "glim_tpu", "viewer", "watch.html")
+        assert os.path.exists(html)
+        assert "seek" in open(html).read()
+
+    def test_watch_server_serves_stream(self, tmp_path):
+        import threading
+        import urllib.request
+
+        stream = tmp_path / "s.jsonl"
+        stream.write_text('{"t": 0.0, "seq": 0, "odom": [], "submaps": [], '
+                          '"stats": {}}\n')
+        import glim_tpu.tools.watch as watch
+        import http.server
+        srv_holder = {}
+
+        orig = http.server.ThreadingHTTPServer
+
+        class Grab(orig):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, **kw)
+                srv_holder["srv"] = self
+
+        http.server.ThreadingHTTPServer = Grab
+        try:
+            th = threading.Thread(
+                target=watch.main,
+                args=(["--stream", str(stream), "--port", "0"],), daemon=True)
+            th.start()
+            import time
+            for _ in range(100):
+                if "srv" in srv_holder:
+                    break
+                time.sleep(0.02)
+            port = srv_holder["srv"].server_address[1]
+            page = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/watch.html", timeout=5).read()
+            assert b"glim_tpu" in page
+            data = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stream", timeout=5).read()
+            assert b'"seq": 0' in data
+        finally:
+            http.server.ThreadingHTTPServer = orig
+            if "srv" in srv_holder:
+                srv_holder["srv"].shutdown()
+
     def test_memory_monitor(self):
         mm = MemoryMonitor(interval=0.05)
         import time

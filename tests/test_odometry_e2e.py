@@ -50,6 +50,37 @@ class TestOdometryE2E:
         traveled = np.linalg.norm(est[-1][:3, 3] - est[0][:3, 3])
         assert traveled > 1.0
 
+    def test_bootstrap_replay_keeps_anchor(self):
+        """The bootstrap model rebuild re-runs the first scans with the
+        converged twist; the replayed trajectory must stay anchored at
+        frame 0 = identity (the replay seeds a nonzero twist, and the step's
+        constant-velocity predictor would otherwise advance frame 0 by
+        exp(twist*dt) and shift the whole map)."""
+        seq = generate_sequence(duration=2.0, scan_hz=10.0, n_scan_points=4000,
+                                noise=0.01, seed=3, scene_points=40000)
+        params = OdometryEstimationCPUParams(
+            registration_type="VGICP", vgicp_resolution=0.5,
+            voxel_capacity=65536, max_iterations=8, bootstrap_frames=5,
+            bootstrap_refine="replay")
+        est, _, odom = run_odometry(seq, params)
+        assert odom._boot_done and not odom._boot
+        # No discontinuity at the replay boundary: consecutive pose deltas
+        # stay near the true per-scan motion (~0.3 m at 3 m/s, 10 Hz).
+        deltas = [np.linalg.norm(est[i + 1][:3, 3] - est[i][:3, 3])
+                  for i in range(len(est) - 1)]
+        assert max(deltas) < 0.6, deltas
+        ate = ate_rmse(anchor_to_gt(est, seq), seq.gt_poses, align=False)
+        ate_off = None
+        params_off = OdometryEstimationCPUParams(
+            registration_type="VGICP", vgicp_resolution=0.5,
+            voxel_capacity=65536, max_iterations=8,
+            bootstrap_refine="off")
+        est_off, _, _ = run_odometry(seq, params_off)
+        ate_off = ate_rmse(anchor_to_gt(est_off, seq), seq.gt_poses,
+                           align=False)
+        # The rebuilt (deskewed) bootstrap model must not be worse.
+        assert ate <= ate_off * 1.2, (ate, ate_off)
+
     def test_gicp_trajectory(self):
         seq = generate_sequence(duration=2.0, scan_hz=10.0, n_scan_points=3000,
                                 noise=0.01, seed=4, scene_points=30000)
