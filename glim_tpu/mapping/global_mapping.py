@@ -201,8 +201,10 @@ class GlobalMapping(GlobalMappingBase):
         submap.frame.covs = covs
 
     def _insert_submap_impl(self, submap: SubMap) -> None:
+        from glim_tpu.utils.profiling import profile_scope
         CB.on_insert_submap(submap)
-        self._ensure_covs(submap)
+        with profile_scope("global/ins.covs"):
+            self._ensure_covs(submap)
         p = self.params
         i = len(self.submaps)
         T_odom = np.asarray(submap.T_world_origin, np.float64)
@@ -216,7 +218,8 @@ class GlobalMapping(GlobalMappingBase):
         self.submaps.append(submap)
         self.odom_poses.append(T_odom)
         self.poses.append(T_est)
-        self.voxelmaps.append(self._build_voxelmap(submap))
+        with profile_scope("global/ins.voxelmap"):
+            self.voxelmaps.append(self._build_voxelmap(submap))
         self._append_match_slice(submap)
 
         # Optional odometry between factor, GICP-refined (reference
@@ -224,14 +227,17 @@ class GlobalMapping(GlobalMappingBase):
         if i > 0 and p.create_between_factors:
             dZ = np.linalg.inv(self.odom_poses[i - 1]) @ self.odom_poses[i]
             if p.between_registration_type.upper() == "GICP":
-                dZ, info = self._gicp_refine_between(i - 1, i, dZ)
+                with profile_scope("global/ins.between_gicp"):
+                    dZ, info = self._gicp_refine_between(i - 1, i, dZ)
             else:
                 info = np.eye(6) * 1e2
             self.between_factors.append((i - 1, i, dZ, info))
 
-        self._create_matching_cost_factors(i)
+        with profile_scope("global/ins.matching_factors"):
+            self._create_matching_cost_factors(i)
         if p.enable_imu and i > 0:
-            self._create_imu_factor(i - 1, i)
+            with profile_scope("global/ins.imu_factor"):
+                self._create_imu_factor(i - 1, i)
         # Sync-path gating: optimize when a loop appeared or on the interval
         # (the async wrapper additionally runs periodic idle optimization).
         due = (i + 1 - self._last_opt_count) >= p.optimization_interval_submaps

@@ -355,6 +355,14 @@ class SubMapping(SubMappingBase):
                     last["pts"], last_covs, last["mask"],
                     frame.frame.points, frame.frame.covs, frame.frame.mask,
                     jnp.float32(1.0))
+                # Start the D2H copies now: _refine() reads int(n_in) /
+                # np.asarray(H) a submap later; without these each read is
+                # a blocking roundtrip at submap-creation time.
+                for a in (H, n_in):
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        pass
                 info = (H, n_in)
             self._bt_delta.append(delta)
             self._bt_info.append(info)       # resolved (fetched) at create
@@ -443,6 +451,7 @@ class SubMapping(SubMappingBase):
         preintegration (device pytree). Keeping both device-resident means
         the per-frame loop never pays a blocking fetch; host copies
         (dump/export) materialize lazily."""
+        from glim_tpu.utils.profiling import profile_scope
         CAP = IMU_CHAIN_CAP
         prev = self.frames[-1] if self.frames else None
         packed = np.zeros((2 * CAP + 7, 8), np.float32)
@@ -450,22 +459,28 @@ class SubMapping(SubMappingBase):
         packed[CAP:2 * CAP, 7] = 1e9
         nA = nB = 0
         if prev is not None:
-            packed[:CAP], nA = self._imu_window_block(prev.stamp, frame.stamp)
-            biasA = prev.imu_bias
+            with profile_scope("sub/smooth.blockA"):
+                packed[:CAP], nA = self._imu_window_block(prev.stamp, frame.stamp)
+            with profile_scope("sub/smooth.biasA"):
+                biasA = prev.imu_bias
             if biasA is not None:
                 packed[2 * CAP, 2:8] = biasA
         if next_frame is not None:
-            packed[CAP:2 * CAP], nB = self._imu_window_block(
-                frame.stamp, next_frame.stamp)
+            with profile_scope("sub/smooth.blockB"):
+                packed[CAP:2 * CAP], nB = self._imu_window_block(
+                    frame.stamp, next_frame.stamp)
             packed[2 * CAP, 0] = next_frame.stamp - frame.stamp
-            packed[2 * CAP + 3:2 * CAP + 5] = np.asarray(
-                next_frame.T_world_sensor(), np.float32).reshape(2, 8)
+            with profile_scope("sub/smooth.Tnext"):
+                packed[2 * CAP + 3:2 * CAP + 5] = np.asarray(
+                    next_frame.T_world_sensor(), np.float32).reshape(2, 8)
         if nA < 2 and nB < 2:
             return None, None, nA, nB
-        packed[2 * CAP + 1:2 * CAP + 3] = np.asarray(
-            frame.T_world_sensor(), np.float32).reshape(2, 8)
-        v = frame.v_world_imu
-        b = frame.imu_bias
+        with profile_scope("sub/smooth.Tcur"):
+            packed[2 * CAP + 1:2 * CAP + 3] = np.asarray(
+                frame.T_world_sensor(), np.float32).reshape(2, 8)
+        with profile_scope("sub/smooth.vb"):
+            v = frame.v_world_imu
+            b = frame.imu_bias
         if v is not None:
             packed[2 * CAP + 5, :3] = v
         if b is not None:
@@ -474,9 +489,10 @@ class SubMapping(SubMappingBase):
             # Matches the previous per-call transform handed to the chain.
             self._d_T_li = jnp.asarray(np.linalg.inv(frame.T_lidar_imu),
                                        jnp.float32)
-        traj, pre = _sub_frame_program(jnp.asarray(packed), self._d_T_li,
-                                       self._d_acc_noise, self._d_gyro_noise,
-                                       self._d_int_noise)
+        with profile_scope("sub/smooth.prog"):
+            traj, pre = _sub_frame_program(jnp.asarray(packed), self._d_T_li,
+                                           self._d_acc_noise, self._d_gyro_noise,
+                                           self._d_int_noise)
         return (traj if (nB >= 2 and next_frame is not None) else None,
                 pre if nA >= 2 else None, nA, nB)
 
@@ -638,10 +654,6 @@ class SubMapping(SubMappingBase):
         # Extra stride for the pairwise factor clouds only (the Kp^2 lookup
         # fan-out is the expensive part; the voxelmap targets stay dense).
         rs = max(1, p.refine_subsample)
-        Cs = int(kfs[0]["pts"][::rs].shape[0])
-        kf_pts = jnp.zeros((Kp, Cs, 3), jnp.float32)
-        kf_covs = jnp.zeros((Kp, Cs, 3, 3), jnp.float32)
-        kf_mask = jnp.zeros((Kp, Cs), bool)
         kf_fidx = np.zeros(Kp, np.int32)
         kf_valid = np.zeros(Kp, bool)
         L = max(p.keyframe_voxelmap_levels, 1)
@@ -651,10 +663,15 @@ class SubMapping(SubMappingBase):
                 lambda *xs: jnp.stack(xs),
                 *[kf["vms"][lvl] for kf in kfs],
                 *([kfs[0]["vms"][lvl]] * (Kp - len(kfs)))))
+        # One stacking dispatch per tensor (vs Kp sequential .at[].set).
+        pad_k = Kp - len(kfs)
+        zp = jnp.zeros_like(kfs[0]["pts"][::rs])
+        zc = jnp.zeros_like(kfs[0]["covs"][::rs])
+        zm = jnp.zeros_like(kfs[0]["mask"][::rs])
+        kf_pts = jnp.stack([kf["pts"][::rs] for kf in kfs] + [zp] * pad_k)
+        kf_covs = jnp.stack([kf["covs"][::rs] for kf in kfs] + [zc] * pad_k)
+        kf_mask = jnp.stack([kf["mask"][::rs] for kf in kfs] + [zm] * pad_k)
         for i, kf in enumerate(kfs):
-            kf_pts = kf_pts.at[i].set(kf["pts"][::rs])
-            kf_covs = kf_covs.at[i].set(kf["covs"][::rs])
-            kf_mask = kf_mask.at[i].set(kf["mask"][::rs])
             kf_fidx[i] = kf["fidx"]
             kf_valid[i] = True
 
@@ -701,19 +718,22 @@ class SubMapping(SubMappingBase):
         T_origin_world = np.linalg.inv(T_world_origin)
 
         k_max = p.max_num_keyframes
-        C = int(self.keyframes[0]["full_pts"].shape[0])
-        kf_pts = jnp.zeros((k_max, C, 3), jnp.float32)
-        kf_cvs = jnp.zeros((k_max, C, 3, 3), jnp.float32)
-        kf_msk = jnp.zeros((k_max, C), bool)
-        kf_T = jnp.tile(jnp.eye(4), (k_max, 1, 1))
+        # ONE stacking dispatch per tensor (a .at[i].set loop would chain
+        # k_max sequential full-buffer copies on the device queue).
+        kfs = self.keyframes[:k_max]
+        pad = k_max - len(kfs)
+        zp = jnp.zeros_like(kfs[0]["full_pts"])
+        zc = jnp.zeros_like(kfs[0]["full_covs"])
+        zm = jnp.zeros_like(kfs[0]["full_mask"])
+        kf_pts = jnp.stack([kf["full_pts"] for kf in kfs] + [zp] * pad)
+        kf_cvs = jnp.stack([kf["full_covs"] for kf in kfs] + [zc] * pad)
+        kf_msk = jnp.stack([kf["full_mask"] for kf in kfs] + [zm] * pad)
+        kf_T_np = np.tile(np.eye(4, dtype=np.float32), (k_max, 1, 1))
         kf_valid = np.zeros(k_max, bool)
-        for i, kf in enumerate(self.keyframes[:k_max]):
-            kf_pts = kf_pts.at[i].set(kf["full_pts"])
-            kf_cvs = kf_cvs.at[i].set(kf["full_covs"])
-            kf_msk = kf_msk.at[i].set(kf["full_mask"])
-            kf_T = kf_T.at[i].set(jnp.asarray(
-                T_origin_world @ poses[kf["fidx"]], jnp.float32))
+        for i, kf in enumerate(kfs):
+            kf_T_np[i] = T_origin_world @ poses[kf["fidx"]]
             kf_valid[i] = True
+        kf_T = jnp.asarray(kf_T_np)
 
         out_cap = min(p.submap_point_capacity,
                       int(2 ** np.ceil(np.log2(max(p.submap_target_num_points, 1024)))))

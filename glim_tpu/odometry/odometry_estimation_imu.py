@@ -423,10 +423,15 @@ class OdometryEstimationIMU(OdometryEstimationBase):
             n = len(self._est_frames)
             T_wl_all = np.asarray(self.window.T, np.float64) @ np.linalg.inv(self.T_lidar_imu)
             v_all = np.asarray(self.window.v, np.float64)
+            # Bias too: leaving it device-only makes every drained frame pay
+            # an individual blocking fetch downstream (sub-mapping reads
+            # imu_bias per frame; measured ~40 ms each on the tunneled chip).
+            b_all = np.asarray(self.window.b, np.float64)
             for i, e in enumerate(self._est_frames):
                 k = self.W - n + i
                 e.T_world_lidar = T_wl_all[k]
                 e.v_world_imu = v_all[k]
+                e.imu_bias = b_all[k]
         out = self._est_frames
         self._est_frames = []
         return out

@@ -65,13 +65,22 @@ def solve_damped(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarra
     """Solve (H + lam * diag(H) + eps I) delta = -b.
 
     H is a damped GN Hessian (symmetric positive definite), so Cholesky —
-    about 3x cheaper than the LU path and friendlier to the TPU. If the
-    factorization degenerates (NaNs from an indefinite f32 H), fall back to
-    LU for that call; callers' corruption guards handle the rest."""
+    about 3x cheaper than the LU path and friendlier to the TPU. The system
+    is solved with Jacobi equilibration (D^-1 A D^-1 on the unit-diagonal
+    scale) plus one iterative-refinement step: global-mapping Hessians mix
+    pose-prior rows at 1e10 with junction regularization at 1e-4, and a raw
+    f32 factorization loses the small blocks entirely. If the factorization
+    still degenerates (NaNs from an indefinite f32 H), fall back to LU for
+    that call; callers' corruption guards handle the rest."""
     damping = lam * jnp.diag(H) + 1e-9
     A = H + jnp.diag(damping)
-    L = jnp.linalg.cholesky(A)
-    x = jax.scipy.linalg.cho_solve((L, True), b)
+    d_inv = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(A), 1e-12))
+    As = A * d_inv[:, None] * d_inv[None, :]
+    bs = b * d_inv
+    L = jnp.linalg.cholesky(As)
+    y = jax.scipy.linalg.cho_solve((L, True), bs)
+    y = y + jax.scipy.linalg.cho_solve((L, True), bs - As @ y)
+    x = y * d_inv
     return -jax.lax.cond(jnp.all(jnp.isfinite(x)),
                          lambda _: x,
                          lambda _: jnp.linalg.solve(A, b), None)

@@ -144,6 +144,11 @@ class GlimTPU:
                 self._sync_estimates.append(est)
                 self.trajectory.add_odom(est.stamp, est.T_world_sensor())
             for m in marginalized:
+                # The add_odom read above blocked until this scan's window
+                # program finished, so these copies are pure D2H now and
+                # land while sub-mapping dispatches its own work (the async
+                # path gets the same prefetch at the wrapper hand-off).
+                m.fetch_state_async()
                 self.sub_mapping.insert_frame(m)
             for sm in self.sub_mapping.get_submaps():
                 self.global_mapping.insert_submap(sm)

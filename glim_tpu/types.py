@@ -268,12 +268,16 @@ class EstimationFrame:
         self._imu_rate_trajectory = traj
 
     def _pack_state(self):
-        """Build the packed 25-float device state (or None if <2 host
-        caches are missing)."""
+        """Build the packed 25-float device state (or None if no host
+        cache is missing). Even a SINGLE missing field goes through the
+        packed path: the async prefetch at hand-off makes it free, while a
+        lazy property read would serialize ~25-40 ms behind the in-flight
+        window program on the device queue (measured: end-of-sequence
+        frames arrive with pose+velocity host-filled but bias device-only)."""
         need_T = self._T_world_lidar is None and self.device_T_world_lidar is not None
         need_v = self._v_world_imu is None and self.device_v_world_imu is not None
         need_b = self._imu_bias is None and self.device_imu_bias is not None
-        if sum((need_T, need_v, need_b)) < 2:
+        if not (need_T or need_v or need_b):
             return None
         import jax.numpy as jnp
         parts = [
