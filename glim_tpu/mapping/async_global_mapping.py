@@ -94,8 +94,21 @@ class AsyncGlobalMapping:
                 self.global_mapping.insert_imu(stamp, acc, gyro)
             submaps = self.input_submap_queue.get_all_and_clear_wait(timeout=0.05)
             with self._mutex:
+                gm = self.global_mapping
+                burst = len(submaps) > 1 and hasattr(gm, "defer_optimization")
+                if burst:
+                    # A backlog (startup catch-up or end-of-sequence drain)
+                    # costs ONE solve after the burst instead of one per
+                    # insert — each in-line optimize is hundreds of ms.
+                    gm.defer_optimization = True
                 for sm in submaps:
-                    self.global_mapping.insert_submap(sm)
+                    gm.insert_submap(sm)
+                    self._last_optimization = time.time()
+                if burst:
+                    gm.defer_optimization = False
+                    needs = getattr(gm, "needs_optimize", None)
+                    if needs is None or needs():
+                        gm.optimize()
                     self._last_optimization = time.time()
 
                 while self._request_factors:
@@ -140,7 +153,12 @@ class AsyncGlobalMapping:
                     # finish its queue before the final solve.
                     if hasattr(self.global_mapping, "wait_for_detection"):
                         self.global_mapping.wait_for_detection()
-                    self.global_mapping.optimize()
+                    # Final solve — skipped when the graph is unchanged
+                    # since the last optimize (e.g. the drain burst above
+                    # already solved it).
+                    needs = getattr(self.global_mapping, "needs_optimize", None)
+                    if needs is None or needs():
+                        self.global_mapping.optimize()
                     if hasattr(self.global_mapping, "stop"):
                         self.global_mapping.stop()
                 break

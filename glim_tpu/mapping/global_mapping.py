@@ -147,6 +147,10 @@ class GlobalMapping(GlobalMappingBase):
         self.translation_priors: List[tuple] = []
         self._new_loop_since_opt = False
         self._last_opt_count = 0
+        # When True, insert_submap skips its in-line optimize (the async
+        # wrapper / end-of-sequence drain set this around submap BURSTS so
+        # a backlog of N submaps costs ONE solve instead of N).
+        self.defer_optimization = False
         # Factor-axis device mesh: when more than one chip is attached, the
         # matching-factor linearization in global_gn shard_maps over it by
         # default — no caller plumbing required (the reference's GPU fan-out
@@ -241,7 +245,8 @@ class GlobalMapping(GlobalMappingBase):
         # Sync-path gating: optimize when a loop appeared or on the interval
         # (the async wrapper additionally runs periodic idle optimization).
         due = (i + 1 - self._last_opt_count) >= p.optimization_interval_submaps
-        if p.enable_optimization and (self._new_loop_since_opt or due):
+        if p.enable_optimization and not self.defer_optimization \
+                and (self._new_loop_since_opt or due):
             self.optimize()
 
     def _append_match_slice(self, submap: SubMap) -> None:

@@ -258,6 +258,8 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         self.num_loops = 0
         self._looped_pairs = set()
         self._last_opt_n = 0         # poses at the last optimize
+        # Burst deferral (see GlobalMapping.defer_optimization).
+        self.defer_optimization = False
         self._last_opt_factors = 0   # factors at the last optimize
         self.detector = LoopDetector(self) if self.params.enable_detection_thread \
             else None
@@ -335,7 +337,7 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         else:
             self._eval_candidates(p.loop_candidate_eval_per_insert)
 
-        if p.enable_optimization:
+        if p.enable_optimization and not self.defer_optimization:
             self.optimize()
 
     # -- loop closure --

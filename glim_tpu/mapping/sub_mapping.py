@@ -261,6 +261,11 @@ class SubMapping(SubMappingBase):
         self._preints: List = []
         self._pre_valid: List[bool] = []
         self._last_frame_full = dict(T=np.eye(4), pts=None, covs=None, mask=None)
+        # Deferred keyframe decisions: deque of (gate_dev, frame, frame_idx),
+        # resolved once each gate's D2H copy has LANDED (is_ready) — the
+        # shared device FIFO holds odometry window programs ~15-30 ms deep,
+        # so a same-frame read would block behind them. Depth-bounded.
+        self._kf_pending: List[tuple] = []
         # Device-resident constants for the fused per-frame IMU program
         # (fresh tiny uploads every call would each pay tunnel latency).
         self._d_T_li = None
@@ -297,12 +302,18 @@ class SubMapping(SubMappingBase):
     def _process_frame_impl(self, frame: EstimationFrame,
                             next_frame: Optional[EstimationFrame]) -> None:
         p = self.params
-        # Dispatch the keyframe overlap gate FIRST, from the frame's DEVICE
-        # pose (no host state needed): its 2-float async copy lands while
-        # the rest of this frame's work runs, so the keyframe decision at
-        # the bottom reads a finished buffer instead of blocking on the
-        # device queue.
         from glim_tpu.utils.profiling import profile_scope
+        # Resolve the PREVIOUS frame's deferred keyframe decision first: its
+        # overlap-gate program had a full inter-frame interval to clear the
+        # shared device queue, so the 2-float read is free (reading the gate
+        # within the same frame measured ~35 ms/frame stuck behind the
+        # odometry thread's in-flight window programs). Resolving BEFORE
+        # this frame's gate dispatch also keeps the gate's reference
+        # keyframe current when the previous frame just became one.
+        with profile_scope("sub/gate_read"):
+            self._resolve_pending_keyframes()
+        # Dispatch this frame's keyframe overlap gate from the frame's
+        # DEVICE pose (no host state needed); decided once landed.
         with profile_scope("sub/gate_dispatch"):
             gate_pending = self._dispatch_keyframe_gate(frame)
         # One packed fetch for pose+velocity+bias instead of three lazy
@@ -355,14 +366,12 @@ class SubMapping(SubMappingBase):
                     last["pts"], last_covs, last["mask"],
                     frame.frame.points, frame.frame.covs, frame.frame.mask,
                     jnp.float32(1.0))
-                # Start the D2H copies now: _refine() reads int(n_in) /
-                # np.asarray(H) a submap later; without these each read is
-                # a blocking roundtrip at submap-creation time.
-                for a in (H, n_in):
-                    try:
-                        a.copy_to_host_async()
-                    except AttributeError:
-                        pass
+                # NOTE: do NOT copy_to_host_async here — on the remoted
+                # axon chip an async-copy request on a just-dispatched
+                # (in-flight) array behaves like a device-queue flush
+                # (see EstimationFrame.prefetch). The copies are requested
+                # in bulk at _refine() start instead, when the producing
+                # programs finished long ago.
                 info = (H, n_in)
             self._bt_delta.append(delta)
             self._bt_info.append(info)       # resolved (fetched) at create
@@ -387,14 +396,46 @@ class SubMapping(SubMappingBase):
             covs=frame.frame.covs if frame.frame is not None else None,
             mask=frame.frame.mask if frame.frame is not None else None)
 
-        with profile_scope("sub/gate_read"):
-            do_kf = self._should_insert_keyframe(frame, gate_pending)
-        if do_kf:
+        # Defer the keyframe decision until the gate copy lands (resolved at
+        # the top of later _process_frame calls, or at end of sequence).
+        self._kf_pending.append((gate_pending, frame, current))
+
+    @staticmethod
+    def _gate_ready(gate) -> bool:
+        if gate is None:
+            return True
+        try:
+            return bool(gate.is_ready())
+        except AttributeError:
+            return True     # backend without readiness queries: read now
+
+    def _resolve_pending_keyframes(self, force_all: bool = False,
+                                   keep: int = 3) -> None:
+        """Decide deferred keyframe questions whose gate copies have landed
+        (non-blocking readiness check), keeping decision latency bounded:
+        pendings deeper than ``keep`` are resolved even if the read blocks.
+        Before a submap roll, ALL pendings are resolved so every frame's
+        keyframe candidacy lands in the submap it belongs to."""
+        from glim_tpu.utils.profiling import profile_scope
+        while self._kf_pending:
+            if (not force_all and len(self._kf_pending) <= keep
+                    and not self._gate_ready(self._kf_pending[0][0])):
+                return
+            gate, frame, current = self._kf_pending.pop(0)
+            if not self._should_insert_keyframe(frame, gate):
+                continue
             with profile_scope("sub/kf_insert"):
                 self._insert_keyframe(current, frame)
             CB.on_new_keyframe(current, frame)
-            if len(self.keyframes) >= p.max_num_keyframes:
+            if (len(self.keyframes) >= self.params.max_num_keyframes
+                    and not force_all):
+                # Frames after `current` are already in self.frames and will
+                # be swept into this submap: decide their candidacy first so
+                # the roll closes over a fully-decided keyframe set (the
+                # force_all guard keeps the recursion from rolling inside).
+                self._resolve_pending_keyframes(force_all=True)
                 self._create_submap()
+                return
 
     def get_submaps(self) -> List[SubMap]:
         out = self.submap_queue
@@ -404,6 +445,7 @@ class SubMapping(SubMappingBase):
     def submit_end_of_sequence(self) -> List[SubMap]:
         if self._delayed:
             self._process_frame(self._delayed.pop(0), None)
+        self._resolve_pending_keyframes(force_all=True)   # flush decisions
         if self.keyframes:
             self._create_submap()
         out = self.submap_queue
@@ -608,6 +650,18 @@ class SubMapping(SubMappingBase):
             logger.warning("submap has %d frames > %d; skipping batch "
                            "refinement", N, FRAME_BUCKETS[-1])
             return None
+
+        # Bulk-request the between-info D2H copies up front (their programs
+        # ran one frame after dispatch, many frames ago — pure copies now);
+        # the int(n_in)/np.asarray(H) reads below then find landed buffers
+        # instead of paying one blocking roundtrip per frame.
+        for info in self._bt_info:
+            if isinstance(info, tuple):
+                for a in info:
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        pass
 
         T0 = np.tile(np.eye(4, dtype=np.float32), (Np, 1, 1))
         v0 = np.zeros((Np, 3), np.float32)

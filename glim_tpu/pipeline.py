@@ -198,8 +198,14 @@ class GlimTPU:
         else:
             for m in self.odometry.get_remaining_frames():
                 self.sub_mapping.insert_frame(m)
+            # Drain burst: defer per-insert optimization — the final solve
+            # below covers the whole backlog in ONE optimize.
+            if hasattr(self.global_mapping, "defer_optimization"):
+                self.global_mapping.defer_optimization = True
             for sm in self.sub_mapping.submit_end_of_sequence():
                 self.global_mapping.insert_submap(sm)
+            if hasattr(self.global_mapping, "defer_optimization"):
+                self.global_mapping.defer_optimization = False
             # Pose-graph backend: let the loop-detection thread finish its
             # candidate queue before the final solve, then stop it.
             if hasattr(self.global_mapping, "wait_for_detection"):

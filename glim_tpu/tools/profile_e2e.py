@@ -44,8 +44,10 @@ def main() -> None:
                 glim._pump()
             glim.insert_frame(raw)
 
-        for raw in seq.scans[:n_warm]:
+        for k, raw in enumerate(seq.scans[:n_warm]):
             feed(raw)
+            if k % 10 == 0:
+                print(f"  warm scan {k}", flush=True)
         while glim.workload() > 0:
             time.sleep(0.02)
             glim._pump()
@@ -54,14 +56,23 @@ def main() -> None:
             jax.block_until_ready(odom.window.T)
 
         t0 = time.perf_counter()
-        for raw in seq.scans[n_warm:]:
+        for k, raw in enumerate(seq.scans[n_warm:]):
             feed(raw)
+            if k % 20 == 0:
+                print(f"  scan {k}", flush=True)
         while glim.workload() > 0:
             time.sleep(0.005)
             glim._pump()
         t1 = time.perf_counter()
+        from glim_tpu.utils import profiling as _prof
+        _prof.report(reset=True)          # split: sustained vs drain scopes
         glim.wait()
         t2 = time.perf_counter()
+        print("drain-phase scopes:", flush=True)
+        for name, row in _prof.report(reset=False).items():
+            print(f"  [drain] {name:28s} n={row['n']:<4d} "
+                  f"total={row['total_s']:7.2f}s mean={row['mean_ms']:7.2f}ms",
+                  flush=True)
         return t1 - t0, t2 - t1, len(seq.scans) - n_warm
 
     print("warm pass ...", flush=True)

@@ -91,6 +91,12 @@ class StandardViewer(ExtensionModule):
             else g("stream_interval", 1.0))
         self._last_stream = 0.0
         self._stream_odom_mark = 0
+        # Map/pose-graph stream state: origin-frame submap clouds queued for
+        # one-shot emission, and the factor-edge list (sent on change).
+        self._pending_clouds: Dict[int, np.ndarray] = {}
+        self._factors: List[list] = []
+        self._factors_dirty = False
+        self.cloud_budget = int(g("stream_cloud_budget", 1200))
         self._handles = []
         self._wire()
 
@@ -104,6 +110,7 @@ class StandardViewer(ExtensionModule):
         add(O.on_marginalized_frames, self._on_marginalized)
         add(S.on_new_submap, self._on_new_submap)
         add(G.on_update_submaps, self._on_update_submaps)
+        add(G.on_smoother_update, self._on_smoother_update)
 
     def detach(self) -> None:
         for slot, h in self._handles:
@@ -138,8 +145,46 @@ class StandardViewer(ExtensionModule):
             self.num_marginalized += len(frames)
 
     def _on_new_submap(self, submap) -> None:
+        cloud = None
+        if self.stream is not None:
+            # One-shot origin-frame cloud for the persistent map layer.
+            # Runs on the sub-mapping worker once per submap; the blocking
+            # fetch is amortized over the submap's ~1-2 s of scans.
+            try:
+                batch = submap.frame
+                if batch is not None and batch.points is not None:
+                    pts = np.asarray(batch.points)[np.asarray(batch.mask)]
+                    if len(pts) > self.cloud_budget:
+                        pts = pts[:: max(1, len(pts) // self.cloud_budget)]
+                    cloud = pts
+            except Exception:       # stream must never break the pipeline
+                cloud = None
         with self._lock:
             self.submap_poses.append(np.asarray(submap.T_world_origin))
+            if cloud is not None:
+                self._pending_clouds[int(submap.id)] = cloud
+
+    def _on_smoother_update(self, mapping, *_args) -> None:
+        """Capture the global factor graph for the pose-graph stream layer
+        (reference interactive_viewer factor lines)."""
+        try:
+            pairs = [[int(t), int(s), "m"]
+                     for t, s in getattr(mapping, "matching_factors", [])]
+            pairs += [[int(bf[0]), int(bf[1]), "b"]
+                      for bf in getattr(mapping, "between_factors", [])]
+            # Pose-graph backend: consecutive = odometry chain ("b"),
+            # non-consecutive = accepted loop factors ("m").
+            for i, j, h in zip(getattr(mapping, "f_i", []),
+                               getattr(mapping, "f_j", []),
+                               getattr(mapping, "f_huber", [])):
+                pairs.append([int(i), int(j),
+                              "b" if abs(int(j) - int(i)) == 1 else "m"])
+        except Exception:
+            return
+        with self._lock:
+            if pairs != self._factors:
+                self._factors = pairs
+                self._factors_dirty = True
 
     def _on_update_submaps(self, submaps) -> None:
         with self._lock:
@@ -176,7 +221,11 @@ class StandardViewer(ExtensionModule):
                          keyframes=self.num_keyframes,
                          submaps=len(self.submap_poses),
                          mb=round(self.frame_bytes / 1e6, 1))
-        self.stream.emit(frame.stamp, odom_new, submaps, scan_world, stats)
+            clouds, self._pending_clouds = self._pending_clouds, {}
+            factors = list(self._factors) if self._factors_dirty else None
+            self._factors_dirty = False
+        self.stream.emit(frame.stamp, odom_new, submaps, scan_world, stats,
+                         clouds=clouds or None, factors=factors)
 
     # -- outputs --
 

@@ -15,7 +15,17 @@ Line schema (all floats rounded for compactness):
    "odom": [[x, y, z, qx, qy, qz, qw], ...]   # poses since the last line
    "submaps": [[x, y, z, qx, qy, qz, qw], ...]  # ALL current submap poses
    "scan": [[x, y, z], ...],                  # current scan, world frame
+   "clouds": {"id": [[x, y, z], ...]},        # submap clouds, ORIGIN frame
+                                              # (sent once, on creation)
+   "factors": [[i, j, "m"|"b"], ...],         # global factor edges by
+                                              # submap index (on change):
+                                              # m=matching-cost, b=between
    "stats": {"frames": n, "keyframes": n, "submaps": n, "mb": float}}
+
+The clouds + corrected submap poses give the replaying page a persistent
+world map (the reference viewer's submap drawables); the factor list draws
+the pose graph for inspection/picking (interactive_viewer.cpp's factor
+lines).
 """
 
 from __future__ import annotations
@@ -45,7 +55,9 @@ class ViewerStream:
 
     def emit(self, stamp: float, odom_poses: List[np.ndarray],
              submap_poses: List[np.ndarray],
-             scan_world: Optional[np.ndarray], stats: dict) -> None:
+             scan_world: Optional[np.ndarray], stats: dict,
+             clouds: Optional[dict] = None,
+             factors: Optional[list] = None) -> None:
         line = dict(
             t=round(float(stamp), 4),
             seq=self._seq,
@@ -60,6 +72,13 @@ class ViewerStream:
             if len(pts) > self.scan_budget:
                 pts = pts[:: max(1, len(pts) // self.scan_budget)]
             line["scan"] = np.round(pts, 3).tolist()
+        if clouds:
+            line["clouds"] = {str(k): np.round(np.asarray(v, np.float64),
+                                               3).tolist()
+                              for k, v in clouds.items()}
+        if factors is not None:
+            line["factors"] = [[int(i), int(j), str(t)]
+                               for i, j, t in factors]
         with self._lock:
             self._seq += 1
             self._f.write(json.dumps(line) + "\n")

@@ -137,6 +137,15 @@ class TestViewerModules:
             SubMappingCallbacks.on_new_submap(
                 SubMap(id=0, T_world_origin=np.eye(4),
                        frame=PointBatch(points=pts, mask=mask)))
+            # Factor edges stream from the smoother-update hook (pose-graph
+            # layer of watch.html).
+            from glim_tpu.mapping.callbacks import GlobalMappingCallbacks
+
+            class _FakeMapping:
+                matching_factors = [(0, 1), (0, 3)]
+                between_factors = [(0, 1, np.eye(4), np.eye(6))]
+            GlobalMappingCallbacks.on_smoother_update(_FakeMapping(), None,
+                                                      None)
             CB.on_new_frame(EstimationFrame(
                 id=3, stamp=0.3, T_world_lidar=np.eye(4),
                 frame=PointBatch(points=pts, mask=mask)))
@@ -150,6 +159,14 @@ class TestViewerModules:
         # The submap created between lines shows up in the later line.
         assert len(lines[-1]["submaps"]) == 1
         assert lines[-1]["stats"]["frames"] == 4
+        # Map layer: the submap's origin-frame cloud streamed exactly once.
+        cloud_lines = [l for l in lines if "clouds" in l]
+        assert len(cloud_lines) == 1 and "0" in cloud_lines[0]["clouds"]
+        assert len(cloud_lines[0]["clouds"]["0"][0]) == 3
+        # Pose-graph layer: factor edges with matching/between tags.
+        fac_lines = [l for l in lines if "factors" in l]
+        assert fac_lines and [0, 1, "m"] in fac_lines[-1]["factors"]
+        assert [0, 1, "b"] in fac_lines[-1]["factors"]
         # The replay page ships next to the stream writer.
         html = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "glim_tpu", "viewer", "watch.html")

@@ -83,9 +83,20 @@ class TestSubMapping:
             sm.insert_frame(f)
         assert len(sm.keyframes) == 1
         # Large jumps: overlap ~0 -> every frame becomes a keyframe.
-        for i, f in enumerate(straight_frames(rng, 3, step=40.0)):
-            sm.insert_frame(f)
-        assert len(sm.keyframes) >= 3
+        # (The decision for frame k lands during frame k+1's processing —
+        # delayed queue + one-frame lagged gate read — so flush to count;
+        # count through the callback since submap creation clears the list.)
+        from glim_tpu.mapping.callbacks import SubMappingCallbacks as SMCB
+        n_new = [0]
+        handle = SMCB.on_new_keyframe.add(
+            lambda idx, fr: n_new.__setitem__(0, n_new[0] + 1))
+        try:
+            for i, f in enumerate(straight_frames(rng, 3, step=40.0)):
+                sm.insert_frame(f)
+            sm.submit_end_of_sequence()
+        finally:
+            SMCB.on_new_keyframe.remove(handle)
+        assert n_new[0] >= 3
 
 
 class TestSubMappingPassthrough:
