@@ -339,11 +339,15 @@ class GlobalMapping(GlobalMappingBase):
         gating map."""
         p = self.params
         # Adaptive resolution from median point distance (reference :234-283).
+        # Stays a DEVICE scalar end-to-end: voxelmap resolution is traced, so
+        # fetching it to host would only stall the insert behind every
+        # in-flight window program on the shared device queue (~20-100 ms
+        # measured on the tunneled chip).
         from glim_tpu.ops.pointops import median_distance
-        med = float(median_distance(submap.frame.points, submap.frame.mask))
-        t = np.clip((med - p.submap_voxel_resolution_dmin) /
-                    max(p.submap_voxel_resolution_dmax - p.submap_voxel_resolution_dmin, 1e-6),
-                    0.0, 1.0)
+        med = median_distance(submap.frame.points, submap.frame.mask)
+        t = jnp.clip((med - p.submap_voxel_resolution_dmin) /
+                     max(p.submap_voxel_resolution_dmax
+                         - p.submap_voxel_resolution_dmin, 1e-6), 0.0, 1.0)
         res = p.submap_voxel_resolution + t * (p.submap_voxel_resolution_max
                                                - p.submap_voxel_resolution)
         covs = submap.frame.covs
@@ -435,9 +439,17 @@ class GlobalMapping(GlobalMappingBase):
         p = self.params
         pi = self.poses[i][:3, 3]
         connected = False
-        cands = [j for j in range(i)
-                 if np.linalg.norm(self.poses[j][:3, 3] - pi)
-                 <= p.max_implicit_loop_distance]
+        # One vectorized distance gate over all prior submap centers (the
+        # reference fast-forwards candidates by travel distance,
+        # global_mapping_pose_graph.cpp:307-323; a host-side vector norm
+        # keeps this O(1) numpy dispatches regardless of map size).
+        if i:
+            centers = np.stack([T[:3, 3] for T in self.poses[:i]])
+            d = np.linalg.norm(centers - pi, axis=1)
+            cands = [int(j) for j in
+                     np.where(d <= p.max_implicit_loop_distance)[0]]
+        else:
+            cands = []
         if cands:
             ov_devs = [vmx.voxelmap_overlap(
                 self.voxelmaps[j][0], self._m_pts[i], self._m_mask[i],
