@@ -28,6 +28,7 @@ class AsyncGlobalMapping:
         self.input_imu_queue: ConcurrentVector = ConcurrentVector()
         self.input_submap_queue: ConcurrentVector = ConcurrentVector()
         self._end_of_sequence = threading.Event()
+        self._draining = threading.Event()
         self._request_optimize = threading.Event()
         self._request_recover = threading.Event()
         self._request_overlap: List[float] = []
@@ -62,7 +63,15 @@ class AsyncGlobalMapping:
         # fire on the caller thread — CallbackSlot is thread-safe.
         self.global_mapping.insert_image(stamp, image)
 
+    def begin_drain(self) -> None:
+        """Signal that the feed has ended and a join() is imminent: from now
+        on every insert defers its optimization into the single final solve
+        (intermediate solves on a still-growing drain backlog are wasted
+        work — each costs hundreds of ms on the shared device)."""
+        self._draining.set()
+
     def join(self) -> None:
+        self._draining.set()
         self._end_of_sequence.set()
         self.input_submap_queue.submit_end_of_data()
         self.thread.join()
@@ -95,21 +104,26 @@ class AsyncGlobalMapping:
             submaps = self.input_submap_queue.get_all_and_clear_wait(timeout=0.05)
             with self._mutex:
                 gm = self.global_mapping
-                burst = len(submaps) > 1 and hasattr(gm, "defer_optimization")
-                if burst:
-                    # A backlog (startup catch-up or end-of-sequence drain)
-                    # costs ONE solve after the burst instead of one per
-                    # insert — each in-line optimize is hundreds of ms.
+                # A backlog (startup catch-up or end-of-sequence drain)
+                # costs ONE solve after the burst instead of one per
+                # insert — each in-line optimize is hundreds of ms. Once
+                # the drain is flagged, even single-submap batches defer:
+                # the final eos solve below covers them.
+                draining = eos or self._draining.is_set()
+                defer = ((len(submaps) > 1 or draining)
+                         and hasattr(gm, "defer_optimization"))
+                if defer:
                     gm.defer_optimization = True
                 for sm in submaps:
                     gm.insert_submap(sm)
                     self._last_optimization = time.time()
-                if burst:
+                if defer:
                     gm.defer_optimization = False
-                    needs = getattr(gm, "needs_optimize", None)
-                    if needs is None or needs():
-                        gm.optimize()
-                    self._last_optimization = time.time()
+                    if not draining:
+                        needs = getattr(gm, "needs_optimize", None)
+                        if needs is None or needs():
+                            gm.optimize()
+                        self._last_optimization = time.time()
 
                 while self._request_factors:
                     req = self._request_factors.pop(0)
@@ -141,7 +155,8 @@ class AsyncGlobalMapping:
                 # when the graph actually changed since the last solve:
                 # re-optimizing an unchanged graph steals the (shared)
                 # accelerator from the odometry hot loop for nothing.
-                if time.time() - self._last_optimization > self.optimization_interval:
+                if (not draining and time.time() - self._last_optimization
+                        > self.optimization_interval):
                     needs = getattr(self.global_mapping, "needs_optimize", None)
                     if needs is None or needs():
                         self.global_mapping.optimize()

@@ -264,8 +264,12 @@ class SubMapping(SubMappingBase):
         # Deferred keyframe decisions: deque of (gate_dev, frame, frame_idx),
         # resolved once each gate's D2H copy has LANDED (is_ready) — the
         # shared device FIFO holds odometry window programs ~15-30 ms deep,
-        # so a same-frame read would block behind them. Depth-bounded.
+        # so a same-frame read would block behind them. Depth-bounded by
+        # `gate_keep`; the async wrapper raises it across input bursts
+        # (end-of-sequence drain) so back-to-back frames never block on a
+        # gate copy that is still behind freshly dispatched programs.
         self._kf_pending: List[tuple] = []
+        self.gate_keep = 3
         # Device-resident constants for the fused per-frame IMU program
         # (fresh tiny uploads every call would each pay tunnel latency).
         self._d_T_li = None
@@ -410,13 +414,16 @@ class SubMapping(SubMappingBase):
             return True     # backend without readiness queries: read now
 
     def _resolve_pending_keyframes(self, force_all: bool = False,
-                                   keep: int = 3) -> None:
+                                   keep: int = None) -> None:
         """Decide deferred keyframe questions whose gate copies have landed
         (non-blocking readiness check), keeping decision latency bounded:
-        pendings deeper than ``keep`` are resolved even if the read blocks.
-        Before a submap roll, ALL pendings are resolved so every frame's
-        keyframe candidacy lands in the submap it belongs to."""
+        pendings deeper than ``keep`` (default ``self.gate_keep``) are
+        resolved even if the read blocks. Before a submap roll, ALL pendings
+        are resolved so every frame's keyframe candidacy lands in the submap
+        it belongs to."""
         from glim_tpu.utils.profiling import profile_scope
+        if keep is None:
+            keep = self.gate_keep
         while self._kf_pending:
             if (not force_all and len(self._kf_pending) <= keep
                     and not self._gate_ready(self._kf_pending[0][0])):

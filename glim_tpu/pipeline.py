@@ -186,6 +186,15 @@ class GlimTPU:
     def wait(self) -> None:
         """Flush the pipeline (end of sequence)."""
         if self.async_mode:
+            # Flag the drain to the downstream workers BEFORE the odometry
+            # join: submaps trickle into the global worker throughout the
+            # window flush, and without the flag every 2+ batch pays an
+            # intermediate optimize (hundreds of ms each) that the single
+            # final end-of-sequence solve makes redundant.
+            for stage in (self.sub_mapping, self.global_mapping):
+                begin = getattr(stage, "begin_drain", None)
+                if begin is not None:
+                    begin()
             self.odometry.join()
             est, margs = self.odometry.get_results()
             self._sync_estimates.extend(est)

@@ -73,12 +73,17 @@ def make_submap(rng, sid, world, T_true, sensor_range=20.0, cap=2048):
     pts[:len(local)] = local + rng.normal(0, 0.005, local.shape)
     mask = np.zeros(cap, bool)
     mask[:len(local)] = True
-    covs = np.broadcast_to(np.eye(3, dtype=np.float32) * 0.02,
-                           (cap, 3, 3)).copy()
+    # No fabricated covariances: GlobalMapping re-estimates them from local
+    # kNN neighborhoods (its production path for covariance-less submaps),
+    # exactly like real submaps carry geometry-derived anisotropic covs.
+    # Fabricated ISOTROPIC covs degrade VGICP to point-to-voxel-mean ICP,
+    # whose tangential lattice-locking bias set a spurious ~0.08-0.12 m ATE
+    # equilibrium on this ring (measured: iso 0.079 m vs kNN 0.0035 m at 64
+    # submaps; tight correspondence refreshes made iso WORSE, 0.118 m).
     return SubMap(id=sid, T_world_origin=np.eye(4),
                   frame=PointBatch(points=jnp.asarray(pts),
                                    mask=jnp.asarray(mask),
-                                   covs=jnp.asarray(covs)))
+                                   covs=None))
 
 
 def run(n_submaps: int, interval: int, seed: int = 5, step: float = 6.0,
