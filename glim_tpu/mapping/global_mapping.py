@@ -164,6 +164,11 @@ class GlobalMapping(GlobalMappingBase):
         self._sm_stack = None
         self._match_stack = None
         self._match_dirty: set = set()
+        # Stacked per-level voxelmap lookup tables (keys/stats/res with a
+        # leading submap axis) for the batched correspondence refresh and
+        # overlap sweeps — ONE device program per refresh round instead of
+        # one dispatch per factor (each costs a tunnel round-trip).
+        self._lk_stack = None
         self._mesh = None
         if self.params.use_device_mesh:
             import jax
@@ -391,10 +396,22 @@ class GlobalMapping(GlobalMappingBase):
     # -- matching factors (cached correspondences) --
 
     def _register_matching_factor(self, tgt: int, src: int) -> None:
-        self.matching_factors.append((tgt, src))
-        self._f_cache[(tgt, src)] = self._lookup_factor(tgt, src)
-        if tgt != src - 1:
-            self._new_loop_since_opt = True
+        self._register_matching_factors_batch([(tgt, src)])
+
+    def _register_matching_factors_batch(self, pairs: list) -> None:
+        """Register several matching-cost factors with ONE stacked
+        correspondence search per voxelmap level (per-pair searches each
+        pay a device dispatch; an insert typically registers 2-6 factors,
+        a recover sweep dozens)."""
+        if not pairs:
+            return
+        fis = list(range(len(self.matching_factors),
+                         len(self.matching_factors) + len(pairs)))
+        self.matching_factors.extend(pairs)
+        self._batch_lookup_factors(pairs, fis)
+        for tgt, src in pairs:
+            if tgt != src - 1:
+                self._new_loop_since_opt = True
 
     def _lookup_factor(self, tgt: int, src: int) -> dict:
         """Correspondence search of src's cloud against ALL of tgt's
@@ -411,24 +428,110 @@ class GlobalMapping(GlobalMappingBase):
 
     def _refresh_stale_factors(self) -> int:
         """Re-search correspondences for factors whose relative pose moved
-        beyond the relinearization threshold (iSAM2-style lazy relin)."""
+        beyond the relinearization threshold (iSAM2-style lazy relin).
+        Staleness is detected on host (cheap 4x4 algebra); the re-searches
+        themselves run as ONE stacked device program per level — after a
+        loop closure moves the whole map, MOST factors are stale, and
+        per-factor dispatches cost a tunnel round-trip each."""
         p = self.params
-        n = 0
+        stale = []
         for fi, (tgt, src) in enumerate(self.matching_factors):
             cache = self._f_cache.get((tgt, src))
             if cache is None:
-                self._f_cache[(tgt, src)] = self._lookup_factor(tgt, src)
-                self._match_dirty.add(fi)
-                n += 1
+                stale.append(fi)
                 continue
             T_rel = np.linalg.inv(self.poses[tgt]) @ self.poses[src]
             d = lie_np.se3_log(np.linalg.inv(cache["T_rel"]) @ T_rel)
             if (np.linalg.norm(d[3:]) > p.relinearize_trans
                     or np.linalg.norm(d[:3]) > p.relinearize_rot):
-                self._f_cache[(tgt, src)] = self._lookup_factor(tgt, src)
-                self._match_dirty.add(fi)
-                n += 1
-        return n
+                stale.append(fi)
+        if stale:
+            self._batch_lookup_factors(
+                [self.matching_factors[fi] for fi in stale], stale)
+        return len(stale)
+
+    def _batch_lookup_factors(self, pairs: list, fis: list) -> None:
+        """Correspondence search for every (tgt, src) pair as ONE stacked
+        device program per voxelmap level, then ONE batched scatter per
+        match-stack leaf (the per-factor path dispatched L lookup programs
+        per factor plus 3L .at[row].set writes — thousands of round-trips
+        per refresh round at 128 submaps)."""
+        if not pairs:
+            return
+        p = self.params
+        L = max(p.submap_voxelmap_levels, 1)
+        Sp = bucket(len(self.submaps))
+        M = int(self._m_pts[0].shape[0])
+        sm_pts, _ = self._sm_stacks(Sp, M)
+        sm_mask = self._sm_stack["mask"]
+        lk = self._lk_stacks(Sp)
+        poses_dev = pad_stack([np.asarray(T, np.float32)
+                               for T in self.poses], Sp,
+                              np.eye(4, dtype=np.float32))
+        R = len(pairs)
+        Rp = bucket(R)
+        tgt = jnp.asarray(np.array([t for t, _ in pairs]
+                                   + [0] * (Rp - R), np.int32))
+        src = jnp.asarray(np.array([s for _, s in pairs]
+                                   + [0] * (Rp - R), np.int32))
+        outs = [gicp.vgicp_lookup_stacked(poses_dev, tgt, src, sm_pts,
+                                          sm_mask, lk[lvl]["keys"],
+                                          lk[lvl]["stats"], lk[lvl]["res"])
+                for lvl in range(L)]
+        for k, (pair, fi) in enumerate(zip(pairs, fis)):
+            T_rel = np.linalg.inv(self.poses[pair[0]]) @ self.poses[pair[1]]
+            self._f_cache[pair] = dict(
+                levels=[(mu[k], ct[k], hit[k]) for mu, ct, hit in outs],
+                T_rel=T_rel)
+            self._match_dirty.add(fi)
+
+        # Fast path: write the refreshed rows straight into the live match
+        # stack, one scatter per leaf. Rows are padded with an out-of-range
+        # index and written mode="drop" so the padded garbage rows (their
+        # lookups ran against submap 0) never land anywhere.
+        st = self._match_stack
+        key = tuple(self.matching_factors)
+        if (st is None or st["L"] != L
+                or st["key"] != key[:len(st["key"])]
+                or max(fis) * L + L > st["Fp"]):
+            return      # _match_stacks rebuild path consumes the caches
+        rows_np = np.full((L, Rp), st["Fp"], np.int32)
+        for lvl in range(L):
+            rows_np[lvl, :R] = np.asarray(fis, np.int32) * L + lvl
+        rows = jnp.asarray(rows_np.reshape(-1))
+        st["f_mu"] = st["f_mu"].at[rows].set(
+            jnp.concatenate([o[0] for o in outs]), mode="drop")
+        st["f_ct"] = st["f_ct"].at[rows].set(
+            jnp.concatenate([o[1] for o in outs]), mode="drop")
+        st["f_hit"] = st["f_hit"].at[rows].set(
+            jnp.concatenate([o[2] for o in outs]), mode="drop")
+        st["key"] = key
+        for fi in fis:
+            self._match_dirty.discard(fi)
+
+    def _batch_overlaps(self, pairs: list) -> np.ndarray:
+        """Overlap fraction of submap src against submap tgt's finest
+        voxelmap for every (tgt, src) pair: one stacked device program +
+        one fetch (per-candidate dispatches each pay a tunnel round-trip,
+        and per-candidate fetches each drain the device queue)."""
+        Sp = bucket(len(self.submaps))
+        M = int(self._m_pts[0].shape[0])
+        self._sm_stacks(Sp, M)
+        sm_pts, sm_mask = self._sm_stack["pts"], self._sm_stack["mask"]
+        lk0 = self._lk_stacks(Sp)[0]
+        R = len(pairs)
+        Rp = bucket(R)
+        T_rel = np.stack([np.linalg.inv(self.poses[t]) @ self.poses[s]
+                          for t, s in pairs]
+                         + [np.eye(4)] * (Rp - R)).astype(np.float32)
+        tgt = jnp.asarray(np.array([t for t, _ in pairs]
+                                   + [0] * (Rp - R), np.int32))
+        src = jnp.asarray(np.array([s for _, s in pairs]
+                                   + [0] * (Rp - R), np.int32))
+        ovs = vmx.voxelmap_overlap_stacked(jnp.asarray(T_rel), tgt, src,
+                                           sm_pts, sm_mask, lk0["keys"],
+                                           lk0["res"])
+        return np.asarray(ovs)[:R]
 
     def _create_matching_cost_factors(self, i: int) -> None:
         """Implicit loop closure: factors to all overlapping nearby submaps
@@ -451,22 +554,15 @@ class GlobalMapping(GlobalMappingBase):
         else:
             cands = []
         if cands:
-            ov_devs = [vmx.voxelmap_overlap(
-                self.voxelmaps[j][0], self._m_pts[i], self._m_mask[i],
-                jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i],
-                            jnp.float32)) for j in cands]
-            # Pad the stack to a bucket size: a fresh stack shape per
-            # candidate count would recompile the (tiny) concat program on
-            # every insert.
-            ov_devs += [ov_devs[0]] * (bucket(len(ov_devs)) - len(ov_devs))
-            ovs = np.asarray(jnp.stack(ov_devs))[:len(cands)]
-        for j, ov in zip(cands, ovs if cands else []):
-            if ov < p.min_implicit_loop_overlap:
-                continue
-            self._register_matching_factor(j, i)
-            connected = True
-            if j != i - 1:
-                logger.info("implicit loop factor %d <-> %d (overlap %.2f)", j, i, ov)
+            ovs = self._batch_overlaps([(j, i) for j in cands])
+            keep = [(j, ov) for j, ov in zip(cands, ovs)
+                    if ov >= p.min_implicit_loop_overlap]
+            self._register_matching_factors_batch([(j, i) for j, _ in keep])
+            for j, ov in keep:
+                connected = True
+                if j != i - 1:
+                    logger.info("implicit loop factor %d <-> %d "
+                                "(overlap %.2f)", j, i, ov)
         if not connected and i > 0:
             # Isolation prevention (reference :475-481).
             dZ = np.linalg.inv(self.odom_poses[i - 1]) @ self.odom_poses[i]
@@ -486,14 +582,56 @@ class GlobalMapping(GlobalMappingBase):
                       pts=pad_stack(self._m_pts, Sp,
                                     np.zeros((M, 3), np.float32)),
                       covs=pad_stack(self._m_covs, Sp,
-                                     np.zeros((M, 3, 3), np.float32)))
+                                     np.zeros((M, 3, 3), np.float32)),
+                      mask=pad_stack(self._m_mask, Sp,
+                                     np.zeros((M,), bool)))
         else:
             for i in range(st["n"], S):
                 st["pts"] = st["pts"].at[i].set(self._m_pts[i])
                 st["covs"] = st["covs"].at[i].set(self._m_covs[i])
+                st["mask"] = st["mask"].at[i].set(self._m_mask[i])
             st["n"] = S
         self._sm_stack = st
         return st["pts"], st["covs"]
+
+    def _lk_stacks(self, Sp: int) -> list:
+        """Per-level stacked voxelmap lookup tables, maintained
+        incrementally like _sm_stacks (voxelmaps are append-only). Each
+        level holds keys (Sp, V_lvl, 2), stats (Sp, V_lvl, 12) and the
+        per-submap adaptive resolution (Sp,) — the payload
+        vgicp_lookup_stacked / voxelmap_overlap_stacked search against."""
+        p = self.params
+        L = max(p.submap_voxelmap_levels, 1)
+        S = len(self.voxelmaps)
+        st = self._lk_stack
+        if st is None or st["Sp"] != Sp or len(st["levels"]) != L:
+            levels = []
+            for lvl in range(L):
+                tabs = [vmx.gaussian_lookup_table(vms[lvl])
+                        for vms in self.voxelmaps]
+                V = self.voxelmaps[0][lvl].capacity
+                levels.append(dict(
+                    keys=pad_stack([k for k, _ in tabs], Sp,
+                                   np.full((V, 2), vmx.INVALID_HASH,
+                                           np.int32)),
+                    stats=pad_stack([s for _, s in tabs], Sp,
+                                    np.zeros((V, 12), np.float32)),
+                    res=pad_stack([vms[lvl].resolution
+                                   for vms in self.voxelmaps], Sp,
+                                  np.float32(1.0))))
+            st = dict(Sp=Sp, n=S, levels=levels)
+        else:
+            for i in range(st["n"], S):
+                for lvl in range(L):
+                    k, s = vmx.gaussian_lookup_table(self.voxelmaps[i][lvl])
+                    d = st["levels"][lvl]
+                    d["keys"] = d["keys"].at[i].set(k)
+                    d["stats"] = d["stats"].at[i].set(s)
+                    d["res"] = d["res"].at[i].set(
+                        self.voxelmaps[i][lvl].resolution)
+            st["n"] = S
+        self._lk_stack = st
+        return st["levels"]
 
     def _match_stacks(self, Fp: int, L: int, M: int):
         """Padded correspondence stacks (f_mu/f_ct/f_hit), maintained
@@ -735,18 +873,13 @@ class GlobalMapping(GlobalMappingBase):
                          if (int(j), i) not in existing)
         if not pairs:
             return
-        # One stacked fetch for all candidate overlaps (per-pair blocking
-        # fetches would each drain the device queue).
-        ov_devs = [vmx.voxelmap_overlap(
-            self.voxelmaps[j][0], self._m_pts[i], self._m_mask[i],
-            jnp.asarray(np.linalg.inv(self.poses[j]) @ self.poses[i],
-                        jnp.float32)) for j, i in pairs]
-        ov_devs += [ov_devs[0]] * (bucket(len(ov_devs)) - len(ov_devs))
-        ovs = np.asarray(jnp.stack(ov_devs))[:len(pairs)]
-        for (j, i), ov in zip(pairs, ovs):
-            if ov >= max(min_overlap, 0.01):
-                self._register_matching_factor(j, i)
-                logger.info("found overlapping pair %d <-> %d (%.2f)", j, i, ov)
+        # One stacked program + one fetch for all candidate overlaps.
+        ovs = self._batch_overlaps(pairs)
+        keep = [(pair, ov) for pair, ov in zip(pairs, ovs)
+                if ov >= max(min_overlap, 0.01)]
+        self._register_matching_factors_batch([pair for pair, _ in keep])
+        for (j, i), ov in keep:
+            logger.info("found overlapping pair %d <-> %d (%.2f)", j, i, ov)
 
     def recover_graph(self) -> None:
         """Graph reconstruction after corruption (reference :918-1049).
@@ -812,19 +945,15 @@ class GlobalMapping(GlobalMappingBase):
                     pairs.append((a, b))
         pairs = sorted(set(pairs))
         if pairs:
-            ov_devs = [vmx.voxelmap_overlap(
-                self.voxelmaps[t][0], self._m_pts[s], self._m_mask[s],
-                jnp.asarray(np.linalg.inv(self.poses[t]) @ self.poses[s],
-                            jnp.float32)) for t, s in pairs]
-            ov_devs += [ov_devs[0]] * (bucket(len(ov_devs)) - len(ov_devs))
-            ovs = np.asarray(jnp.stack(ov_devs))[:len(pairs)]
-            for (t, s), ov in zip(pairs, ovs):
-                if ov >= p.min_implicit_loop_overlap:
-                    self._register_matching_factor(t, s)
-                    degree[t] += 1
-                    degree[s] += 1
-                    logger.info("recover_graph: matching factor %d <-> %d "
-                                "re-created (overlap %.2f)", t, s, ov)
+            ovs = self._batch_overlaps(pairs)
+            keep = [(pair, ov) for pair, ov in zip(pairs, ovs)
+                    if ov >= p.min_implicit_loop_overlap]
+            self._register_matching_factors_batch([pair for pair, _ in keep])
+            for (t, s), ov in keep:
+                degree[t] += 1
+                degree[s] += 1
+                logger.info("recover_graph: matching factor %d <-> %d "
+                            "re-created (overlap %.2f)", t, s, ov)
 
         # (3) odometry re-chain for submaps still isolated.
         for k in range(1, N):

@@ -161,6 +161,45 @@ def vgicp_lookup(T_target: jnp.ndarray, T_source: jnp.ndarray,
 
 
 @jax.jit
+def vgicp_lookup_stacked(T_all, tgt, src, sm_pts, sm_mask, keys, stats, res):
+    """Batched correspondence search for R factor rows against STACKED
+    per-submap voxelmap tables (see voxelmap.gaussian_lookup_table).
+
+    Replaces the global mapping's per-factor vgicp_lookup dispatch loop in
+    the correspondence refresh: after a loop closure moves the whole map,
+    MOST factors are stale, and re-searching them one dispatch at a time
+    costs hundreds of tunnel round-trips per refresh round (measured ~4 s
+    per optimize at 128 submaps / 608 factors); this runs the entire round
+    as ONE program. The searches use an unrolled binary search whose
+    per-step gathers index the stacked table in place — the "sort" strategy
+    best for single maps would re-sort the table once per row.
+
+    T_all: (S, 4, 4) poses; tgt/src: (R,) int32; sm_pts: (S, M, 3);
+    sm_mask: (S, M); keys: (S, V, 2); stats: (S, V, 12); res: (S,)
+    -> mu (R, M, 3), C_t (R, M, 3, 3), hit (R, M)."""
+    from glim_tpu.ops.voxelmap import lookup_keys
+
+    def one(t, s):
+        T_rel = se3_inv(T_all[t]) @ T_all[s]
+        q = sm_pts[s] @ T_rel[:3, :3].T + T_rel[:3, 3]
+        found = lookup_keys(keys[t], res[t], q, method="scan_unrolled")
+        hit = (found >= 0) & sm_mask[s]
+        row = stats[t][jnp.maximum(found, 0)]
+        return row[:, :3], row[:, 3:].reshape(-1, 3, 3), hit
+
+    R = tgt.shape[0]
+    CH = 32
+    if R <= CH or R % CH != 0:
+        return jax.vmap(one)(tgt, src)
+    # Chunked map bounds the transient per-row gather footprint (a flat
+    # vmap materializes all R rows' (M, 12) stats gathers at once).
+    args = (tgt.reshape(R // CH, CH), src.reshape(R // CH, CH))
+    out = jax.lax.map(lambda a: jax.vmap(one)(*a), args)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((R,) + a.shape[2:]), out)
+
+
+@jax.jit
 def vgicp_linearize_cached(T_target: jnp.ndarray, T_source: jnp.ndarray,
                            src_pts: jnp.ndarray, src_covs: jnp.ndarray,
                            mu: jnp.ndarray, C_t: jnp.ndarray,

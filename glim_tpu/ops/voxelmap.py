@@ -214,38 +214,60 @@ def voxelmap_insert(vm: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarray
     )
 
 
+def lookup_table(vm: GaussianVoxelMap) -> jnp.ndarray:
+    """(V, 2) double-hash key table for lookup_keys.
+
+    Probe identity is the (h1, h2) double hash — the SAME key the insert
+    segment-reduces by, so lookup is exactly as exact as the map's own
+    notion of a voxel (joint collision ~2^-62). Packing both hashes into
+    one (V, 2) row turns each probe into a single gather where comparing
+    hash + 3 raw coords needed two; the pack itself is elementwise over
+    the table and CSE'd once per compiled program however many lookup
+    sites share the map. Random-access gathers from the HBM-resident
+    table are the lookup's dominant cost on TPU (measured ~3 ms per
+    10k-query site at _PROBE=8 with per-probe hash+coord gathers)."""
+    t_h2 = jnp.where(vm.valid, hash_coords2(vm.coords), INVALID_HASH)
+    return jnp.stack([vm.hash, t_h2], axis=1)        # (V, 2)
+
+
 @jax.jit
-def voxelmap_lookup(vm: GaussianVoxelMap, points: jnp.ndarray) -> jnp.ndarray:
-    """(Q, 3) query points -> (Q,) voxel index or -1."""
-    inv_res = 1.0 / vm.resolution
-    q_coords = voxel_coords(points, inv_res)
+def gaussian_lookup_table(vm: GaussianVoxelMap):
+    """Precomputed per-submap search payload for STACKED batched lookups
+    (global mapping keeps one of these per submap per level): the (V, 2)
+    key table plus the fused (V, 12) mean|cov stats rows."""
+    stats = jnp.concatenate([vm.mean, vm.cov.reshape(-1, 9)], axis=1)
+    return lookup_table(vm), stats
+
+
+def lookup_keys(keys: jnp.ndarray, resolution, points: jnp.ndarray,
+                method: str = "sort") -> jnp.ndarray:
+    """(Q, 3) query points against a precomputed (V, 2) key table ->
+    (Q,) voxel index or -1.
+
+    ``method`` is jnp.searchsorted's strategy: "sort" co-sorts
+    (table, queries) — fastest for ONE map (on TPU the binary-search loop
+    costs ~2 ms per 16k-query lookup while same-size sorts run in ~0.2 ms,
+    profiler-traced) but re-sorts the table per vmapped row; batched
+    multi-map callers pass "scan_unrolled" (unrolled binary search whose
+    per-step gathers index the stacked table without materializing it)."""
+    q_coords = voxel_coords(points, 1.0 / resolution)
     q_hash = hash_coords(q_coords)
     q_h2 = hash_coords2(q_coords)
-    # method="sort" turns the binary search into one co-sort of
-    # (table, queries) — on TPU the 17-iteration while loop of the default
-    # method costs ~2 ms per 16k-query lookup while sorts of the same size
-    # run in ~0.2 ms (profiler-traced).
-    base = jnp.searchsorted(vm.hash, q_hash, method="sort")
-
-    # Probe identity is the (h1, h2) double hash — the SAME key the insert
-    # segment-reduces by, so lookup is exactly as exact as the map's own
-    # notion of a voxel (joint collision ~2^-62). Packing both hashes into
-    # one (V, 2) row turns each probe into a single gather where comparing
-    # hash + 3 raw coords needed two; the pack itself is elementwise over
-    # the table and CSE'd once per compiled program however many lookup
-    # sites share the map. Random-access gathers from the HBM-resident
-    # table are the lookup's dominant cost on TPU (measured ~3 ms per
-    # 10k-query site at _PROBE=8 with per-probe hash+coord gathers).
-    t_h2 = jnp.where(vm.valid, hash_coords2(vm.coords), INVALID_HASH)
-    keys = jnp.stack([vm.hash, t_h2], axis=1)        # (V, 2)
+    base = jnp.searchsorted(keys[:, 0], q_hash, method=method)
     found = jnp.full(q_hash.shape, -1, jnp.int32)
-    V = vm.capacity
+    V = keys.shape[0]
     for w in range(_PROBE):
         idx = jnp.minimum(base + w, V - 1)
         kr = keys[idx]
         hit = (kr[:, 0] == q_hash) & (kr[:, 1] == q_h2)
         found = jnp.where((found < 0) & hit, idx.astype(jnp.int32), found)
     return found
+
+
+@jax.jit
+def voxelmap_lookup(vm: GaussianVoxelMap, points: jnp.ndarray) -> jnp.ndarray:
+    """(Q, 3) query points -> (Q,) voxel index or -1."""
+    return lookup_keys(lookup_table(vm), vm.resolution, points)
 
 
 @jax.jit
@@ -258,6 +280,34 @@ def voxelmap_overlap(vm: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarra
     idx = voxelmap_lookup(vm, p)
     hits = (idx >= 0) & mask
     return jnp.sum(hits) / jnp.maximum(jnp.sum(mask), 1)
+
+
+@jax.jit
+def voxelmap_overlap_stacked(T_rel, tgt, src, sm_pts, sm_mask, keys, res):
+    """Batched voxelmap_overlap over (tgt, src) pair rows against STACKED
+    per-submap tables: row r scores submap src[r]'s cloud, transformed by
+    T_rel[r], against submap tgt[r]'s key table. Replaces the global
+    mapping's per-candidate overlap dispatch loop — on a remoted chip every
+    dispatch pays tunnel latency, so N candidates cost N round-trips where
+    this costs one (reference analogue: the overlap checks inside
+    global_mapping.cpp:430-484's implicit-loop search).
+
+    T_rel: (R, 4, 4) f32; tgt/src: (R,) int32; sm_pts: (S, M, 3);
+    sm_mask: (S, M); keys: (S, V, 2) int32; res: (S,) f32 -> (R,) f32."""
+    def one(T, t, s):
+        q = sm_pts[s] @ T[:3, :3].T + T[:3, 3]
+        found = lookup_keys(keys[t], res[t], q, method="scan_unrolled")
+        hits = (found >= 0) & sm_mask[s]
+        return jnp.sum(hits) / jnp.maximum(jnp.sum(sm_mask[s]), 1)
+
+    R = T_rel.shape[0]
+    CH = 64
+    if R <= CH or R % CH != 0:
+        return jax.vmap(one)(T_rel, tgt, src)
+    args = (T_rel.reshape(R // CH, CH, 4, 4), tgt.reshape(R // CH, CH),
+            src.reshape(R // CH, CH))
+    out = jax.lax.map(lambda a: jax.vmap(one)(*a), args)
+    return out.reshape(R)
 
 
 # ---------------------------------------------------------------------------
