@@ -682,7 +682,15 @@ class GlobalMapping(GlobalMappingBase):
         return st["f_mu"], st["f_ct"], st["f_hit"]
 
     def _padded_args(self):
-        """Assemble the padded stacked arrays for global_gn."""
+        """Assemble the padded stacked arrays for global_gn.
+
+        Device buffers are CACHED between calls, keyed per section by what
+        can actually change it (factor lists are append-only; the recover
+        path replaces the list object, changing its id). Only the pose /
+        junction values re-upload every round — on the tunneled chip each
+        H2D upload is a round-trip, and the uncached assembly's ~20 uploads
+        measured ~0.5-1.0 s per optimize round (opt.args scope), more than
+        the GN dispatch itself."""
         p = self.params
         S = len(self.submaps)
         F = len(self.matching_factors)
@@ -695,30 +703,47 @@ class GlobalMapping(GlobalMappingBase):
             bucket(max(B, 1)), (bucket(J) if J else 0), \
             (bucket(A) if A else 0)
         Tp = bucket(TR) if TR else 0
+        if not isinstance(getattr(self, "_args_cache", None), dict):
+            self._args_cache = {}
+        ac = self._args_cache
 
         poses = pad_stack([np.asarray(T, np.float32) for T in self.poses], Sp,
                           np.eye(4, dtype=np.float32))
         # Padded pose slots get identity; keep them sane via damping below.
         # One factor row per (pair, voxelmap level): repeat the pair indices
         # L times, each repeat carrying that level's cached correspondences.
-        f_tgt = pad_stack([np.int32(t) for t, _ in self.matching_factors
-                           for _ in range(L)], Fp, np.int32(0))
-        f_src = pad_stack([np.int32(s) for _, s in self.matching_factors
-                           for _ in range(L)], Fp, np.int32(0))
-        f_w = pad_stack([np.float32(1.0)] * (F * L), Fp, np.float32(0.0))
+        sig_f = (Fp, L, tuple(self.matching_factors))
+        if ac.get("sig_f") != sig_f:
+            ac["f_tgt"] = pad_stack([np.int32(t) for t, _ in
+                                     self.matching_factors
+                                     for _ in range(L)], Fp, np.int32(0))
+            ac["f_src"] = pad_stack([np.int32(s) for _, s in
+                                     self.matching_factors
+                                     for _ in range(L)], Fp, np.int32(0))
+            ac["f_w"] = pad_stack([np.float32(1.0)] * (F * L), Fp,
+                                  np.float32(0.0))
+            ac["sig_f"] = sig_f
+        f_tgt, f_src, f_w = ac["f_tgt"], ac["f_src"], ac["f_w"]
         M = int(self._m_pts[0].shape[0])
         f_mu, f_ct, f_hit = self._match_stacks(Fp, L, M)
         sm_pts, sm_covs = self._sm_stacks(Sp, M)
 
-        b_i = pad_stack([np.int32(f[0]) for f in self.between_factors], Bp,
-                        np.int32(0))
-        b_j = pad_stack([np.int32(f[1]) for f in self.between_factors], Bp,
-                        np.int32(0))
-        b_Z = pad_stack([np.asarray(f[2], np.float32) for f in self.between_factors],
-                        Bp, np.eye(4, dtype=np.float32))
-        b_info = pad_stack([np.asarray(f[3], np.float32) for f in self.between_factors],
-                           Bp, np.eye(6, dtype=np.float32))
-        b_valid = pad_stack([True] * B, Bp, False)
+        sig_b = (Bp, B, id(self.between_factors))
+        if ac.get("sig_b") != sig_b:
+            ac["b_i"] = pad_stack([np.int32(f[0]) for f in
+                                   self.between_factors], Bp, np.int32(0))
+            ac["b_j"] = pad_stack([np.int32(f[1]) for f in
+                                   self.between_factors], Bp, np.int32(0))
+            ac["b_Z"] = pad_stack([np.asarray(f[2], np.float32)
+                                   for f in self.between_factors],
+                                  Bp, np.eye(4, dtype=np.float32))
+            ac["b_info"] = pad_stack([np.asarray(f[3], np.float32)
+                                      for f in self.between_factors],
+                                     Bp, np.eye(6, dtype=np.float32))
+            ac["b_valid"] = pad_stack([True] * B, Bp, False)
+            ac["sig_b"] = sig_b
+        b_i, b_j, b_Z = ac["b_i"], ac["b_j"], ac["b_Z"]
+        b_info, b_valid = ac["b_info"], ac["b_valid"]
 
         if Jp:
             from glim_tpu.odometry.window_estimator import _zero_preints
@@ -727,13 +752,22 @@ class GlobalMapping(GlobalMappingBase):
                             np.int32(0))
             m_j = pad_stack([np.int32(f["j"]) for f in self.imu_factors], Jp,
                             np.int32(0))
-            m_AR = pad_stack([f["A_R"] for f in self.imu_factors], Jp,
-                             np.eye(4, dtype=np.float32))
-            m_AL = pad_stack([f["A_L"] for f in self.imu_factors], Jp,
-                             np.eye(4, dtype=np.float32))
-            m_pre = pad_stack_tree([f["pre"] for f in self.imu_factors], Jp,
-                                   zero_pre)
-            m_valid = pad_stack([True] * len(self.imu_factors), Jp, False)
+            sig_m = (Jp, len(self.imu_factors))
+            if ac.get("sig_m") != sig_m:
+                ac["m_i"] = m_i
+                ac["m_j"] = m_j
+                ac["m_AR"] = pad_stack([f["A_R"] for f in self.imu_factors],
+                                       Jp, np.eye(4, dtype=np.float32))
+                ac["m_AL"] = pad_stack([f["A_L"] for f in self.imu_factors],
+                                       Jp, np.eye(4, dtype=np.float32))
+                ac["m_pre"] = pad_stack_tree([f["pre"] for f in
+                                              self.imu_factors], Jp, zero_pre)
+                ac["m_valid"] = pad_stack([True] * len(self.imu_factors),
+                                          Jp, False)
+                ac["sig_m"] = sig_m
+            m_i, m_j = ac["m_i"], ac["m_j"]
+            m_AR, m_AL = ac["m_AR"], ac["m_AL"]
+            m_pre, m_valid = ac["m_pre"], ac["m_valid"]
             junc = pad_stack([np.asarray(x, np.float32)
                               for x in self.junction_states], Jp,
                              np.zeros(12, np.float32))
@@ -814,12 +848,15 @@ class GlobalMapping(GlobalMappingBase):
         # invalidating correspondences cached at the pre-closure estimate —
         # one refresh round cannot track them. Converged maps exit after a
         # single solve + one (cheap) refresh check.
+        from glim_tpu.utils.profiling import profile_scope
         max_rounds = 10
         for round_ in range(max_rounds):
-            args, dims = self._padded_args()
-            T_fin, junc_fin, err, min_diag = global_gn(
-                **args, **dims, iters=p.lm_iterations, shard_mesh=mesh)
-            new_poses = np.asarray(T_fin, np.float64)[:N]
+            with profile_scope("global/opt.args"):
+                args, dims = self._padded_args()
+            with profile_scope("global/opt.gn"):
+                T_fin, junc_fin, err, min_diag = global_gn(
+                    **args, **dims, iters=p.lm_iterations, shard_mesh=mesh)
+                new_poses = np.asarray(T_fin, np.float64)[:N]
             ok = np.all(np.isfinite(new_poses))
             if not ok:
                 # Selective indeterminant-system recovery (reference
@@ -851,7 +888,10 @@ class GlobalMapping(GlobalMappingBase):
                 self.junction_states = [juncs[k] for k in range(J)]
             # iSAM2-style relinearization sweep: if poses moved enough to
             # invalidate cached correspondences, refresh and re-solve.
-            if round_ < max_rounds - 1 and self._refresh_stale_factors() > 0:
+            with profile_scope("global/opt.refresh"):
+                n_stale = (self._refresh_stale_factors()
+                           if round_ < max_rounds - 1 else 0)
+            if n_stale > 0:
                 continue
             break
         CB.on_smoother_update_result(self, dict(error=float(err)))

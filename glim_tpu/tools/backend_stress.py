@@ -106,6 +106,7 @@ def run(n_submaps: int, interval: int, seed: int = 5, step: float = 6.0,
     T_odom = np.eye(4)
     checkpoints = {16, 32, 64, 128, 256, 512}
     ins_times, opt_times = [], []
+    scopes: dict = {}
     rows = []
     for k in range(n_submaps):
         ang = 2 * np.pi * k / n_submaps
@@ -125,25 +126,39 @@ def run(n_submaps: int, interval: int, seed: int = 5, step: float = 6.0,
         t0 = time.perf_counter()
         gm.insert_submap(sm)
         dt = time.perf_counter() - t0
-        prof = profiling.report(reset=True).get("global/optimize")
+        rep = profiling.report(reset=True)
+        prof = rep.get("global/optimize")
         if prof and prof["n"]:
             opt_times.extend([prof["total_s"] / prof["n"]] * prof["n"])
             dt -= prof["total_s"]      # insert wall excluding the optimize
+        for scope in ("opt.gn", "opt.refresh", "opt.args"):
+            sub = rep.get(f"global/{scope}")
+            if sub and sub["n"]:
+                scopes.setdefault(scope, [0.0, 0])
+                scopes[scope][0] += sub["total_s"]
+                scopes[scope][1] += sub["n"]
         ins_times.append(dt)
         if (k + 1) in checkpoints or k == n_submaps - 1:
             errs = [float(np.linalg.norm(gm.poses[i][:2, 3]
                                          - _true_xy(i, n_submaps, radius)))
                     for i in range(len(gm.poses))]
-            rows.append(dict(
+            row = dict(
                 submaps=k + 1, factors=len(gm.matching_factors),
                 insert_mean_ms=1e3 * float(np.mean(ins_times)),
                 optimize_mean_ms=(1e3 * float(np.mean(opt_times))
                                   if opt_times else None),
                 optimize_last_ms=(1e3 * opt_times[-1] if opt_times else None),
                 ate_rmse_m=float(np.sqrt(np.mean(np.square(errs)))),
-            ))
+            )
+            for scope, (tot, n) in scopes.items():
+                row[f"{scope}_mean_ms"] = 1e3 * tot / n
+                row[f"{scope}_n"] = n
+            if opt_times and scopes.get("opt.gn"):
+                row["rounds_per_optimize"] = (scopes["opt.gn"][1]
+                                              / len(opt_times))
+            rows.append(row)
             print(json.dumps(rows[-1]))
-            ins_times, opt_times = [], []
+            ins_times, opt_times, scopes = [], [], {}
     return rows
 
 
