@@ -4,16 +4,33 @@ Prints one JSON line {"metric", "value", "unit", "vs_baseline"}; the baseline
 is the reference's real-time claim (10 Hz scan processing on a desktop GPU,
 reference docs/quickstart.md:6-10 — BASELINE.md).
 
-Three numbers are produced:
+Numbers produced (priority order):
   * odometry_scans_per_sec_10k_pts (headline): the flagship LiDAR-IMU
     window odometry at the reference's 10k-point budget;
-  * vgicp_scans_per_sec: the LiDAR-only VGICP frame-to-model path;
-  * e2e_scans_per_sec: the FULL pipeline (preprocess -> odometry ->
-    sub-mapping -> global mapping, synchronous worst case).
+  * e2e_async_*: the FULL production pipeline in async mode (the number a
+    live sensor stream sees), sustained + with end-of-sequence drain;
+  * e2e_scans_per_sec: the full pipeline synchronous worst case;
+  * global_optimize_ms_{32,64,128}sm: on-chip backend optimize dispatch
+    wall at 32/64/128 submaps + the post-loop-closure lap ATE;
+  * vgicp_scans_per_sec: the LiDAR-only VGICP frame-to-model path.
 
-The flagship and e2e benches run in budgeted subprocesses (with one retry)
-so a cold XLA compile can never eat the whole benchmark window — partial
-compiles land in the persistent cache and the next run gets the numbers.
+Budget discipline (the round-3 bench timed out and shipped NOTHING — the
+driver records whatever this process prints, so printing the JSON line is
+non-negotiable):
+  * one global wall-clock budget (GLIM_BENCH_TOTAL_BUDGET, default 1500 s)
+    read once at start;
+  * ALL legs run inside ONE worker subprocess — creating a device client
+    and loading the program cache through the tunnel costs MINUTES per
+    process (measured ~6 min from client init to first scan), so per-leg
+    subprocesses cannot fit the window; one worker amortizes it once;
+  * the worker writes the accumulated results file ATOMICALLY after every
+    leg, so a timeout loses only the in-flight leg, never finished ones;
+  * the worker skips remaining legs itself when its deadline nears; the
+    parent restarts a worker for missing legs only if the budget allows
+    (the persistent XLA cache makes the second worker warmer);
+  * SIGTERM/SIGINT and a watchdog timer both flush the best-effort JSON
+    line before exiting, so even a driver-side kill captures the legs that
+    finished.
 
 Timed regions are split into 4 drained chunks and the BEST chunk rate is
 reported (overall rate kept in `extra`): the tunneled accelerator's
@@ -24,112 +41,154 @@ best stall-free chunk is the only stable estimator of device throughput.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 import numpy as np
 
+_RESULT: dict = {"extra": {}}
+_EMITTED = threading.Event()
+_EMIT_LOCK = threading.Lock()
+_ACTIVE_CHILD: list = []     # the in-flight worker subprocess, for kill-on-term
 
-def run_budgeted(tag: str, budget_s: float, retries: int = 1):
-    """Run `python bench.py --<tag>-only out.json` under a time budget.
 
-    Retries once by default: the tunneled-accelerator compile service
-    occasionally stalls a single layout/compile RPC for minutes (observed
-    run-to-run variance >10x for identical warm workloads); a second attempt
-    with a warm persistent cache almost always lands inside the budget.
-    """
-    for _attempt in range(retries + 1):
-        out = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
-        try:
-            subprocess.run([sys.executable, os.path.abspath(__file__),
-                            f"--{tag}-only", out], timeout=budget_s, check=True,
-                           cwd=os.path.dirname(os.path.abspath(__file__)))
-            with open(out) as f:
-                return json.load(f)
-        except Exception:
-            continue
-        finally:
-            try:
-                os.unlink(out)
-            except OSError:
-                pass
-    return {f"{tag}_scans_per_sec": None,
-            f"{tag}_note": "compile exceeded benchmark budget; cached for next run"}
+def _emit(final: bool = True):
+    """Print THE one JSON line (at most once) from whatever legs landed."""
+    with _EMIT_LOCK:
+        if _EMITTED.is_set():
+            return
+        _EMITTED.set()
+    extra = _RESULT.get("extra", {})
+    headline = extra.get("imu_scans_per_sec") or extra.get("vgicp_scans_per_sec")
+    out = {
+        "metric": "odometry_scans_per_sec_10k_pts",
+        "value": round(headline, 2) if headline else None,
+        "unit": "scans/s",
+        "vs_baseline": round(headline / 10.0, 3) if headline else None,
+        "extra": extra,
+    }
+    sys.stdout.flush()
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+# legs in priority order: (name, expected warm seconds — used only to decide
+# whether starting the leg is worthwhile before the deadline)
+LEGS = [
+    ("imu", 90.0),
+    ("e2e-async", 180.0),
+    ("e2e", 120.0),
+    ("backend", 240.0),
+    ("vgicp", 60.0),
+]
 
 
 def main():
-    # Budgeted subprocesses FIRST (each creates its own device client; two
-    # clients sharing the tunneled chip contend, so they run sequentially
-    # before this process touches the device).
-    imu_stats = run_budgeted("imu", float(os.environ.get(
-        "GLIM_BENCH_IMU_BUDGET", "420")))
-    e2e_stats = run_budgeted("e2e", float(os.environ.get(
-        "GLIM_BENCH_E2E_BUDGET", "420")))
-    e2e_async_stats = run_budgeted("e2e-async", float(os.environ.get(
-        "GLIM_BENCH_E2E_ASYNC_BUDGET", "600")))
-    backend_stats = run_budgeted("backend", float(os.environ.get(
-        "GLIM_BENCH_BACKEND_BUDGET", "600")))
+    total = float(os.environ.get("GLIM_BENCH_TOTAL_BUDGET", "1500"))
+    t0 = time.monotonic()
+    deadline = t0 + total
+    reserve = 10.0          # always keep room to print the JSON line
 
-    from glim_tpu.io.synthetic import generate_sequence, ate_rmse
-    from glim_tpu.odometry.odometry_estimation_cpu import (
-        OdometryEstimationCPU, OdometryEstimationCPUParams)
-    from glim_tpu.preprocess.cloud_preprocessor import (CloudPreprocessor,
-                                                        CloudPreprocessorParams)
+    def _on_term(signum, frame):
+        for proc in _ACTIVE_CHILD:       # don't orphan a device-holding worker
+            try:
+                proc.kill()
+            except Exception:
+                pass
+        _collect()
+        _emit()
+        os._exit(0)
 
-    # Reference-scale workload: 10k-point downsample target (the reference's
-    # default per-scan budget), VGICP frame-to-model odometry.
-    seq = generate_sequence(duration=6.0, scan_hz=10.0, n_scan_points=20000,
-                            noise=0.01, seed=7, scene_points=120000)
-    pp = CloudPreprocessor(CloudPreprocessorParams(
-        random_downsample_target=10000, downsample_resolution=0.3,
-        k_correspondences=10))
-    odom = OdometryEstimationCPU(OdometryEstimationCPUParams(
-        registration_type="VGICP", vgicp_resolution=0.5,
-        voxel_capacity=131072, max_iterations=8))
+    out_path = tempfile.NamedTemporaryFile(suffix=".json", delete=False).name
 
-    frames = []
-    n_warm = 5
-    for raw in seq.scans[:n_warm]:
-        frames.append(odom.insert_frame(pp.preprocess(raw)))
-    _ = [f.T_world_lidar for f in frames]  # drain the warmup queue
+    def _collect():
+        try:
+            with open(out_path) as f:
+                stats = json.load(f)
+            _RESULT["extra"].update(
+                {k.replace("-", "_"): v for k, v in stats.items()})
+        except Exception:
+            pass
 
-    # Timed region in 4 chunks with a drain (blocking pose fetch) at each
-    # boundary — the best chunk rate sheds one-off remote-service stalls.
-    timed = seq.scans[n_warm:]
-    bounds = [len(timed) * i // 4 for i in range(5)]
-    stamps = [time.perf_counter()]
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        for raw in timed[lo:hi]:
-            frames.append(odom.insert_frame(pp.preprocess(raw)))
-        _ = frames[-1].T_world_lidar
-        stamps.append(time.perf_counter())
-    est = [f.T_world_lidar for f in frames]
-    n_timed = len(timed)
-    rates = [(hi - lo) / (t1 - t0) for (lo, hi), (t0, t1) in
-             zip(zip(bounds[:-1], bounds[1:]), zip(stamps[:-1], stamps[1:]))]
-    vgicp_sps = max(rates)
-    vgicp_overall = n_timed / (stamps[-1] - stamps[0])
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    # Watchdog: if anything wedges (a stuck subprocess reaper, a hung FS
+    # write), flush the line before the external timeout would hit.
+    wd = threading.Timer(max(total - reserve / 2, 5.0),
+                         lambda: (_collect(), _emit(), os._exit(0)))
+    wd.daemon = True
+    wd.start()
 
-    T0 = seq.gt_poses[0]
-    ate = ate_rmse([T0 @ T for T in est], seq.gt_poses, align=False)
+    done: set = set()
+    for _round in range(2):              # second worker = warm-cache retry
+        todo = [leg for leg, _ in LEGS if leg not in done]
+        remaining = deadline - time.monotonic() - reserve
+        if not todo or remaining < 120.0:
+            break
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", out_path,
+             ",".join(todo), f"{remaining:.0f}"],
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        _ACTIVE_CHILD[:] = [proc]
+        try:
+            proc.wait(timeout=remaining)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+        _ACTIVE_CHILD[:] = []
+        _collect()
+        done = {leg for leg, _ in LEGS
+                if _RESULT["extra"].get(f"{leg.replace('-', '_')}_done")}
+    _collect()
+    try:
+        os.unlink(out_path)
+    except OSError:
+        pass
+    for leg, _ in LEGS:
+        key = leg.replace("-", "_")
+        if not _RESULT["extra"].get(f"{key}_done") and \
+                f"{key}_note" not in _RESULT["extra"]:
+            _RESULT["extra"][f"{key}_note"] = "skipped: budget exhausted"
+    _RESULT["extra"]["bench_wall_s"] = round(time.monotonic() - t0, 1)
+    _emit()
 
-    # Headline: the flagship LiDAR-IMU number when available, otherwise the
-    # VGICP path (both against the 10 Hz real-time baseline).
-    headline = imu_stats.get("imu_scans_per_sec") or vgicp_sps
-    print(json.dumps({
-        "metric": "odometry_scans_per_sec_10k_pts",
-        "value": round(headline, 2),
-        "unit": "scans/s",
-        "vs_baseline": round(headline / 10.0, 3),
-        "extra": {"vgicp_scans_per_sec": round(vgicp_sps, 2),
-                  "vgicp_scans_per_sec_overall": round(vgicp_overall, 2),
-                  "vgicp_ate_rmse_m": round(ate, 4),
-                  "n_scans": n_timed,
-                  **imu_stats, **e2e_stats, **e2e_async_stats,
-                  **backend_stats},
-    }))
+
+def worker(out_path: str, legs: list, budget_s: float):
+    """Run the requested legs sequentially in THIS process (one device
+    client, one cache load), atomically updating `out_path` after each."""
+    deadline = time.monotonic() + budget_s
+    try:
+        with open(out_path) as f:
+            stats = json.load(f)
+    except Exception:
+        stats = {}
+    fns = {"imu": bench_imu_pipeline, "e2e-async": bench_e2e_async,
+           "e2e": bench_e2e_pipeline, "backend": bench_backend_scaling,
+           "vgicp": bench_vgicp_pipeline}
+    first = True
+    for leg in legs:
+        # Starting a leg that cannot finish wastes the ones after it; the
+        # first leg also absorbs the client-init cost (~minutes through the
+        # tunnel), so it gets a free pass — if IT can't fit, nothing can.
+        expected = dict(LEGS)[leg]
+        if not first and time.monotonic() + expected > deadline:
+            stats[f"{leg}_note"] = "skipped: worker budget exhausted"
+            continue
+        first = False
+        try:
+            stats.update(fns[leg]())
+            stats[f"{leg}_done"] = True
+            stats.pop(f"{leg}_note", None)
+        except Exception as exc:   # a failed leg must not kill the rest
+            stats[f"{leg}_note"] = f"failed: {type(exc).__name__}: {exc}"
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, out_path)
 
 
 def bench_imu_pipeline():
@@ -189,6 +248,52 @@ def bench_imu_pipeline():
                 round(n_timed / (stamps[-1] - stamps[0]), 2),
             "imu_ate_rmse_m": round(ate, 4),
             "imu_window": odom.W}
+
+
+def bench_vgicp_pipeline():
+    """Throughput + ATE of the LiDAR-only VGICP frame-to-model path at the
+    reference's 10k-point budget."""
+    from glim_tpu.io.synthetic import ate_rmse, generate_sequence
+    from glim_tpu.odometry.odometry_estimation_cpu import (
+        OdometryEstimationCPU, OdometryEstimationCPUParams)
+    from glim_tpu.preprocess.cloud_preprocessor import (CloudPreprocessor,
+                                                        CloudPreprocessorParams)
+
+    seq = generate_sequence(duration=6.0, scan_hz=10.0, n_scan_points=20000,
+                            noise=0.01, seed=7, scene_points=120000)
+    pp = CloudPreprocessor(CloudPreprocessorParams(
+        random_downsample_target=10000, downsample_resolution=0.3,
+        k_correspondences=10))
+    odom = OdometryEstimationCPU(OdometryEstimationCPUParams(
+        registration_type="VGICP", vgicp_resolution=0.5,
+        voxel_capacity=131072, max_iterations=8))
+
+    frames = []
+    n_warm = 5
+    for raw in seq.scans[:n_warm]:
+        frames.append(odom.insert_frame(pp.preprocess(raw)))
+    _ = [f.T_world_lidar for f in frames]  # drain the warmup queue
+
+    timed = seq.scans[n_warm:]
+    bounds = [len(timed) * i // 4 for i in range(5)]
+    stamps = [time.perf_counter()]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        for raw in timed[lo:hi]:
+            frames.append(odom.insert_frame(pp.preprocess(raw)))
+        _ = frames[-1].T_world_lidar
+        stamps.append(time.perf_counter())
+    est = [f.T_world_lidar for f in frames]
+    n_timed = len(timed)
+    rates = [(hi - lo) / (t1 - t0) for (lo, hi), (t0, t1) in
+             zip(zip(bounds[:-1], bounds[1:]), zip(stamps[:-1], stamps[1:]))]
+
+    T0 = seq.gt_poses[0]
+    ate = ate_rmse([T0 @ T for T in est], seq.gt_poses, align=False)
+    return {"vgicp_scans_per_sec": round(max(rates), 2),
+            "vgicp_scans_per_sec_overall":
+                round(n_timed / (stamps[-1] - stamps[0]), 2),
+            "vgicp_ate_rmse_m": round(ate, 4),
+            "vgicp_n_scans": n_timed}
 
 
 def bench_e2e_async():
@@ -302,21 +407,19 @@ def bench_e2e_pipeline():
             "e2e_n_submaps": extra["n_submaps"]}
 
 
+_LEG_FNS = {
+    "--imu-only": bench_imu_pipeline,
+    "--vgicp-only": bench_vgicp_pipeline,
+    "--e2e-only": bench_e2e_pipeline,
+    "--e2e-async-only": bench_e2e_async,
+    "--backend-only": bench_backend_scaling,
+}
+
 if __name__ == "__main__":
-    if len(sys.argv) == 3 and sys.argv[1] == "--imu-only":
-        stats = bench_imu_pipeline()
-        with open(sys.argv[2], "w") as f:
-            json.dump(stats, f)
-    elif len(sys.argv) == 3 and sys.argv[1] == "--e2e-async-only":
-        stats = bench_e2e_async()
-        with open(sys.argv[2], "w") as f:
-            json.dump(stats, f)
-    elif len(sys.argv) == 3 and sys.argv[1] == "--e2e-only":
-        stats = bench_e2e_pipeline()
-        with open(sys.argv[2], "w") as f:
-            json.dump(stats, f)
-    elif len(sys.argv) == 3 and sys.argv[1] == "--backend-only":
-        stats = bench_backend_scaling()
+    if len(sys.argv) == 5 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], sys.argv[3].split(","), float(sys.argv[4]))
+    elif len(sys.argv) == 3 and sys.argv[1] in _LEG_FNS:
+        stats = _LEG_FNS[sys.argv[1]]()
         with open(sys.argv[2], "w") as f:
             json.dump(stats, f)
     else:

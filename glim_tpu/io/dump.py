@@ -288,6 +288,14 @@ def save_dump(path: str, submaps: List[SubMap], poses: List[np.ndarray],
                                     np.float32).reshape(-1, 3),
                  poses=np.stack(poses) if poses else np.zeros((0, 4, 4)))
 
+    # Reference-format factor graph + values (boost binary archives,
+    # global_mapping.cpp:572-574) so the reference's offline tools can open
+    # this dump exactly. Non-fatal: graph.npz above is the canonical copy.
+    try:
+        _write_boost_graph(path, poses, factors)
+    except Exception as exc:  # pragma: no cover - defensive
+        logger.warning("graph.bin/values.bin export failed: %s", exc)
+
     with open(os.path.join(path, "odom_lidar.txt"), "w") as f_ol, \
             open(os.path.join(path, "odom_imu.txt"), "w") as f_oi, \
             open(os.path.join(path, "traj_lidar.txt"), "w") as f_tl, \
@@ -316,6 +324,82 @@ def save_dump(path: str, submaps: List[SubMap], poses: List[np.ndarray],
     logger.info("dump saved to %s (%d submaps)", path, len(submaps))
 
 
+def _write_boost_graph(path: str, poses, factors: Optional[dict]) -> None:
+    """graph.bin + values.bin in the reference's boost-binary layout
+    (X-key pose values, between factors with Gaussian information noise,
+    identity prior on X(0) — global_mapping.cpp:389-426,572-574)."""
+    from glim_tpu.io import boost_archive as ba
+
+    bin_factors = [ba.make_prior_pose3(
+        ba.symbol("x", 0), np.eye(4), ba.make_isotropic_precision(6, 1e6))]
+    if factors:
+        for i, j, Z, info in zip(factors["i"], factors["j"], factors["Z"],
+                                 factors["info"]):
+            info = np.asarray(info, np.float64)
+            if info.ndim == 1:
+                info = np.diag(info) ** 2
+            # make the noise model PSD-robust: equilibrated jitter
+            info = info + np.eye(6) * (1e-9 * max(float(np.trace(info)), 1.0))
+            bin_factors.append(ba.make_between_pose3(
+                ba.symbol("x", int(i)), ba.symbol("x", int(j)),
+                np.asarray(Z, np.float64), ba.make_gaussian_information(info)))
+    with open(os.path.join(path, "graph.bin"), "wb") as f:
+        f.write(ba.write_graph(bin_factors))
+    values = {ba.symbol("x", k): ba.make_generic_pose3(T)
+              for k, T in enumerate(poses)}
+    with open(os.path.join(path, "values.bin"), "wb") as f:
+        f.write(ba.write_values(values))
+
+
+def _read_boost_graph(path: str):
+    """Parse graph.bin/values.bin into (factors-dict fields, poses-by-index)
+    — the exact saved graph, vs recover_graph's re-estimated approximation.
+    Returns (betweens, poses_dict) or (None, None) when absent/unreadable
+    (the caller then falls back to the manifest + recover_graph, as the
+    reference does when deserialization throws,
+    global_mapping.cpp:770-787)."""
+    from glim_tpu.io import boost_archive as ba
+
+    gp = os.path.join(path, "graph.bin")
+    if not os.path.exists(gp):
+        return None, None
+    try:
+        parsed = ba.read_graph(gp)
+    except Exception as exc:
+        logger.warning("graph.bin unreadable (%s); falling back to "
+                       "recover_graph", exc)
+        return None, None
+    betweens = dict(i=[], j=[], Z=[], info=[], huber=[])
+    for f in parsed:
+        if f is None or f.get("_type") != "BetweenFactor<Pose3>":
+            continue
+        keys = [ba.symbol_split(int(k)) for k in f["base"]["base"]["base"]["keys"]]
+        if len(keys) != 2 or any(c != "x" for c, _ in keys):
+            continue
+        info, robust = ba.noise_information(f["base"]["noiseModel"])
+        betweens["i"].append(keys[0][1])
+        betweens["j"].append(keys[1][1])
+        betweens["Z"].append(ba.pose3_to_matrix(f["measured"]))
+        betweens["info"].append(info)
+        betweens["huber"].append(robust)
+    poses = None
+    vp = os.path.join(path, "values.bin")
+    if os.path.exists(vp):
+        try:
+            vals = ba.read_values(vp)
+            poses = {idx: ba.pose3_to_matrix(v["value"])
+                     for key, v in vals.items()
+                     if v and v["_type"] == "GenericValue<Pose3>"
+                     for c, idx in [ba.symbol_split(int(key))] if c == "x"}
+        except Exception as exc:
+            logger.warning("values.bin unreadable (%s); keeping data.txt "
+                           "poses", exc)
+    logger.info("graph.bin: %d between factors restored exactly%s",
+                len(betweens["i"]),
+                "" if poses is None else f", {len(poses)} pose values")
+    return betweens, poses
+
+
 def load_dump(path: str):
     """Load a dump directory: (submaps, poses, factors dict or None)."""
     if not os.path.isdir(path):
@@ -332,12 +416,13 @@ def load_dump(path: str):
     poses = [sm.T_world_origin for sm in submaps]
     gp = os.path.join(path, "graph.npz")
     if not os.path.exists(gp):
-        # Reference dump: no graph.npz — reconstruct what the manifest
-        # records (matching_cost rows, global_mapping.cpp:576-598). Between
-        # factors lived in the boost graph.bin and cannot be read; the
-        # caller recovers them via GlobalMapping.recover_graph, exactly as
-        # the reference does when graph.bin fails to deserialize
-        # (global_mapping.cpp:770-787).
+        # Reference dump: no graph.npz. The matching-cost factors live in
+        # the graph.txt manifest (global_mapping.cpp:576-598); the between
+        # factors and optimized values live in the boost binary archives
+        # graph.bin/values.bin — read them EXACTLY via the boost-archive
+        # codec. Only when that fails does the caller fall back to
+        # GlobalMapping.recover_graph, as the reference does when
+        # deserialization throws (global_mapping.cpp:770-787).
         manifest = os.path.join(path, "graph.txt")
         matching = []
         if os.path.exists(manifest):
@@ -346,7 +431,14 @@ def load_dump(path: str):
                     tok = line.split()
                     if len(tok) == 4 and tok[0] == "matching_cost":
                         matching.append((int(tok[2]), int(tok[3])))
-        if matching:
+        betweens, bin_poses = _read_boost_graph(path)
+        if betweens is not None:
+            factors = dict(**betweens, matching=matching,
+                           translation_priors=[])
+            if bin_poses:
+                poses = [bin_poses.get(k, poses[k])
+                         for k in range(len(poses))]
+        elif matching:
             factors = dict(i=[], j=[], Z=[], info=[], huber=[],
                            matching=matching, translation_priors=[])
     if os.path.exists(gp):
