@@ -82,13 +82,13 @@ LEGS = [
     ("imu", 90.0),
     ("e2e-async", 180.0),
     ("e2e", 120.0),
-    ("backend", 240.0),
+    ("backend", 420.0),
     ("vgicp", 60.0),
 ]
 
 
 def main():
-    total = float(os.environ.get("GLIM_BENCH_TOTAL_BUDGET", "1500"))
+    total = float(os.environ.get("GLIM_BENCH_TOTAL_BUDGET", "2700"))
     t0 = time.monotonic()
     deadline = t0 + total
     reserve = 10.0          # always keep room to print the JSON line
@@ -388,6 +388,11 @@ def bench_backend_scaling():
     if rows:
         out["global_lap_ate_m_128sm"] = round(rows[-1]["ate_rmse_m"], 4)
         out["global_factors_128sm"] = rows[-1]["factors"]
+        for src, dst in (("ate_pre_closure_m", "global_ate_pre_closure_m"),
+                         ("ate_post_closure_m", "global_ate_post_closure_m"),
+                         ("final_optimize_ms", "global_final_optimize_ms")):
+            if rows[-1].get(src) is not None:
+                out[dst] = round(rows[-1][src], 4)
     return out
 
 

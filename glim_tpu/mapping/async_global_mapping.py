@@ -46,6 +46,9 @@ class AsyncGlobalMapping:
         CB.request_to_add_loop.add(
             lambda tgt, src: self._request_factors.append(
                 ("loop", tgt, src)))
+        CB.request_to_add_between.add(
+            lambda tgt, src, T, info=None: self._request_factors.append(
+                ("between", tgt, src, T, info)))
 
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
@@ -136,6 +139,11 @@ class AsyncGlobalMapping:
                                 gm.add_matching_factor(req[1], req[2])
                             elif hasattr(gm, "add_loop_candidate"):
                                 gm.add_loop_candidate(req[1], req[2])
+                        elif req[0] == "between" and \
+                                hasattr(gm, "add_between_factor"):
+                            gm.add_between_factor(req[1], req[2], req[3],
+                                                  req[4])
+                            self._request_optimize.set()
                     except Exception as e:     # extension input: never fatal
                         import logging
                         logging.getLogger("glim_tpu.global").warning(

@@ -46,3 +46,9 @@ class GlobalMappingCallbacks:
         "global.request_to_add_translation_prior")
     # (tgt: int, src: int) — explicit loop-closure pair from a detector.
     request_to_add_loop = CallbackSlot("global.request_to_add_loop")
+    # (tgt: int, src: int, T_tgt_src (4,4), info (6,6) or scalar) — manual
+    # between-factor injection with an explicit relative-pose measurement
+    # (the InteractiveViewer correction workflow; reference
+    # manual_loop_close_modal.cpp:522-574 BetweenFactor with GICP-Hessian
+    # information).
+    request_to_add_between = CallbackSlot("global.request_to_add_between")

@@ -264,7 +264,7 @@ class GlobalMapping(GlobalMappingBase):
         budget = p.matching_points
         if p.randomsampling_rate <= 0.99:
             budget = min(budget, max(64, int(C * p.randomsampling_rate)))
-        stride = max(1, C // budget)
+        stride = max(1, -(-C // budget))   # ceil: stay within the budget
         pts = submap.frame.points[::stride]
         covs = submap.frame.covs
         if covs is None:
@@ -392,6 +392,24 @@ class GlobalMapping(GlobalMappingBase):
                 or (src, tgt) in self.matching_factors:
             return
         self._register_matching_factor(tgt, src)
+
+    def add_between_factor(self, tgt: int, src: int, T_tgt_src: np.ndarray,
+                           info=None) -> None:
+        """Manual between-factor injection with an explicit relative-pose
+        measurement (the InteractiveViewer correction workflow; reference
+        manual_loop_close_modal.cpp:522-574 injects a BetweenFactor with
+        information = scale * GICP Hessian)."""
+        if not (0 <= tgt < len(self.submaps) and 0 <= src < len(self.submaps)):
+            raise IndexError("submap index out of range")
+        if info is None:
+            info = np.eye(6) * 1e4
+        info = np.asarray(info, np.float64)
+        if info.ndim == 0:
+            info = np.eye(6) * float(info)
+        self.between_factors.append((int(tgt), int(src),
+                                     np.asarray(T_tgt_src, np.float64),
+                                     info))
+        self._new_loop_since_opt = True
 
     # -- matching factors (cached correspondences) --
 

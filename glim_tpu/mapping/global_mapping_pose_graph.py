@@ -360,6 +360,27 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         else:
             self.candidates.append(cand)
 
+    def add_between_factor(self, tgt: int, src: int, T_tgt_src: np.ndarray,
+                           info=None) -> None:
+        """Manual between-factor injection with an explicit relative-pose
+        measurement (InteractiveViewer correction workflow). A 6x6
+        information matrix is reduced to its diagonal sqrt for this
+        backend's scaled pose-graph factors."""
+        if not (0 <= tgt < len(self.submaps)
+                and 0 <= src < len(self.submaps)) or tgt == src:
+            return
+        if info is None:
+            si = 1.0 / self.params.loop_factor_stddev
+        else:
+            info = np.asarray(info, np.float64)
+            si = float(np.sqrt(np.mean(np.diag(info)))) if info.ndim == 2 \
+                else float(np.sqrt(info))
+        self._looped_pairs.add((int(tgt), int(src)))
+        self._add_factor(int(tgt), int(src),
+                         np.asarray(T_tgt_src, np.float64), si,
+                         self.params.loop_factor_robust_width)
+        self.num_loops += 1
+
     def _find_loop_candidates(self, i: int) -> None:
         """Gated candidate generation with fast-forward skipping
         (reference :305-336)."""

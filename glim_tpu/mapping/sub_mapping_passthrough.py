@@ -70,6 +70,11 @@ class SubMappingPassthrough(SubMappingBase):
         # (sub_mapping_passthrough.cpp:117-124).
         self._num_voxels_history: List[int] = []
         self._rng = jax.random.PRNGKey(11)
+        # Whether every keyframe batch so far carried covariances — if so
+        # the emitted submap carries them through (saving the downstream
+        # re-estimation the covariance-less path pays), else covs=None and
+        # the consumer re-estimates.
+        self._covs_complete = True
 
     def insert_frame(self, frame: EstimationFrame) -> None:
         CB.on_insert_frame(frame)
@@ -133,8 +138,12 @@ class SubMappingPassthrough(SubMappingBase):
         if batch is not None and batch.points is not None:
             T = jnp.asarray(frame.T_world_sensor(), jnp.float32)
             w_pts = batch.points @ T[:3, :3].T + T[:3, 3]
-            covs = batch.covs if batch.covs is not None else \
-                jnp.zeros(batch.points.shape[:1] + (3, 3), jnp.float32)
+            if batch.covs is not None:
+                R = T[:3, :3]
+                covs = jnp.einsum("ij,njk,lk->nil", R, batch.covs, R)
+            else:
+                covs = jnp.zeros(batch.points.shape[:1] + (3, 3), jnp.float32)
+                self._covs_complete = False
             self._map = vmx.pointmap_insert(self._map, w_pts, batch.mask, covs,
                                             jnp.int32(len(self.keyframes)))
         self.keyframes.append(frame.clone_wo_points())
@@ -147,18 +156,33 @@ class SubMappingPassthrough(SubMappingBase):
         T_origin_world = np.linalg.inv(T_world_origin)
 
         # Submap cloud: map points (world) -> origin frame, random-trim.
+        # random_sampling keeps shuffled valid points FIRST, so slicing to
+        # the target budget keeps exactly the sample — without the slice the
+        # submap would carry the map's full capacity in padding lanes, and
+        # every downstream consumer (voxelmap build, covariance
+        # re-estimation, match slices) would pay capacity-sized programs.
         self._rng, sub = jax.random.split(self._rng)
-        pts, mask, _ = pointops.random_sampling(self._map.points, self._map.mask,
-                                                p.submap_target_num_points, sub)
+        pts, mask, order = pointops.random_sampling(
+            self._map.points, self._map.mask, p.submap_target_num_points, sub)
+        tgt = min(p.submap_target_num_points, self._map.capacity)
+        pts, mask = pts[:tgt], mask[:tgt]
         To = jnp.asarray(T_origin_world, jnp.float32)
         pts_o = pts @ To[:3, :3].T + To[:3, 3]
+        covs_o = None
+        if self._covs_complete:
+            # Covariances accumulated in the map (world frame) ride along,
+            # rotated into the origin frame — downstream matching factors
+            # need them and re-estimating per insert costs a full kNN pass.
+            covs_w = self._map.covs[order[:tgt]]
+            Ro = To[:3, :3]
+            covs_o = jnp.einsum("ij,njk,lk->nil", Ro, covs_w, Ro)
 
         submap = SubMap(
             id=self.submap_count,
             T_world_origin=T_world_origin,
             T_origin_endpoint_L=T_origin_world @ self.keyframes[0].T_world_sensor(),
             T_origin_endpoint_R=T_origin_world @ self.keyframes[-1].T_world_sensor(),
-            frame=PointBatch(points=pts_o, mask=mask),
+            frame=PointBatch(points=pts_o, mask=mask, covs=covs_o),
             frames=self.keyframes,
             odom_frames=self.odom_frames,
         )
@@ -171,6 +195,7 @@ class SubMappingPassthrough(SubMappingBase):
         self.odom_frames = []
         self._map = None
         self._num_voxels_history = []
+        self._covs_complete = True
         self.submap_queue.append(submap)
         CB.on_new_submap(submap)
         logger.info("passthrough submap %d created (%d keyframes)", submap.id, K)

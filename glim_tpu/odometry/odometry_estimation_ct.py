@@ -53,6 +53,11 @@ class OdometryEstimationCTParams:
     extrapolation_damping: float = 0.85
     update_budget: int = 2048
     bootstrap_frames: int = 5
+    # Startup refinement: "replay" rebuilds the model from the stored
+    # bootstrap scans once the twist has converged (their first insertions
+    # were deskewed with a zero/immature twist and permanently smeared the
+    # map the whole run anchors to); "off" disables.
+    bootstrap_refine: str = "replay"
 
     @staticmethod
     def from_config(config) -> "OdometryEstimationCTParams":
@@ -174,10 +179,14 @@ def _ct_scan_step(T_prev_e, twist_prev, step, model: vmx.PointVoxelMap,
     n_outer = max(1, iters // 2)
     (T_b, T_e), errs = jax.lax.scan(gn_round, (T_b0, T_e0), None, length=n_outer)
 
-    # Skip registration entirely for the very first scan (empty model).
+    # Skip registration entirely for the very first scan (empty model) —
+    # but keep the extrapolated END pose so a bootstrap REPLAY (see
+    # _replay_bootstrap) deskews frame 0 with the converged twist instead
+    # of inserting it distorted. On a cold start twist_prev is zero, so
+    # T_e0 == T_b0 and this reduces to the old zero-motion first step.
     first = step == 0
-    T_b = jnp.where(first, T_prev_e, T_b)
-    T_e = jnp.where(first, T_prev_e, T_e)
+    T_b = jnp.where(first, T_b0, T_b)
+    T_e = jnp.where(first, T_e0, T_e)
 
     # Deskew with the final continuous-time trajectory (points at scan-begin).
     R_s, t_s = _interp_poses(jnp.eye(4), lie.se3_inv(T_b) @ T_e, s)
@@ -210,6 +219,12 @@ class OdometryEstimationCT(OdometryEstimationBase):
         self.last_stamp: Optional[float] = None
         self.frames: List[EstimationFrame] = []
         self._rng = jax.random.PRNGKey(5)
+        # Bootstrap replay buffer (same mechanism as the LiDAR-only
+        # GICP/VGICP path, odometry_estimation_cpu.py): the first scans
+        # register against a model seeded from undeskewed insertions.
+        self._boot: List[tuple] = []
+        self._boot_done = (p.bootstrap_frames < 2
+                           or p.bootstrap_refine == "off")
 
     def requires_imu(self) -> bool:
         return False
@@ -221,6 +236,21 @@ class OdometryEstimationCT(OdometryEstimationBase):
         p = self.params
         dt = 0.1 if self.last_stamp is None else max(frame.stamp - self.last_stamp, 1e-3)
         self._rng, sub = jax.random.split(self._rng)
+
+        in_boot = not self._boot_done and self.frame_count < p.bootstrap_frames
+        if in_boot:
+            self._boot.append((frame.device_points, frame.device_times,
+                               frame.device_mask, frame.device_neighbors,
+                               jnp.float32(dt)))
+        elif not self._boot_done:
+            # Twist has converged: rebuild the model by replaying the stored
+            # bootstrap scans with the converged twist — their original
+            # insertions were deskewed with a zero/immature intra-scan
+            # trajectory and permanently smeared the model the whole run
+            # anchors to (the dominant LiDAR-only error source; the cpu path
+            # measured 0.123 -> 0.027 m ATE from the same fix).
+            self._boot_done = True
+            self._replay_bootstrap()
 
         (T_b, T_e, self.twist, self.model, deskewed, covs, normals, errs) = \
             _ct_scan_step(self.T_prev_end, self.twist, jnp.int32(self.frame_count),
@@ -257,6 +287,40 @@ class OdometryEstimationCT(OdometryEstimationBase):
             if marginalized is not None:
                 marginalized.extend(margs)
         return est
+
+    def _replay_bootstrap(self) -> None:
+        """Re-run the stored bootstrap scans against a FRESH model, seeded
+        with the now-converged twist, then adopt the replayed state: every
+        insertion is properly deskewed, so the map the rest of the run
+        registers against is sharp. One-off cost of ~bootstrap_frames steps."""
+        if len(self._boot) < 2:
+            self._boot = []
+            return
+        p = self.params
+        model = vmx.empty_point_voxelmap(p.model_capacity,
+                                         p.ivox_min_points_dist,
+                                         lru_horizon=p.ivox_lru_thresh)
+        # `+ 0` copies: nothing is donated here, but keep the live buffers
+        # decoupled from the replay loop for safety.
+        twist = self.twist + 0
+        T_prev = jnp.eye(4)
+        rng = jax.random.PRNGKey(6)
+        for k, (pts, times, mask, neighbors, dt) in enumerate(self._boot):
+            rng, sub = jax.random.split(rng)
+            (_, T_prev, twist, model, _, _, _, _) = _ct_scan_step(
+                T_prev, twist, jnp.int32(k), model, pts, times, mask,
+                neighbors, dt, sub,
+                jnp.float32(p.max_correspondence_distance),
+                jnp.float32(p.location_consistency_inf_scale),
+                jnp.float32(p.constant_velocity_inf_scale),
+                jnp.float32(p.extrapolation_damping),
+                iters=p.lm_max_iterations,
+                bootstrap_frames=p.bootstrap_frames,
+                update_budget=p.update_budget)
+        self.model = model
+        self.T_prev_end = T_prev
+        self.twist = twist
+        self._boot = []
 
     def get_remaining_frames(self) -> List[EstimationFrame]:
         out = self.frames

@@ -100,10 +100,16 @@ def run(n_submaps: int, interval: int, seed: int = 5, step: float = 6.0,
         max_implicit_loop_distance=40.0,
         optimization_interval_submaps=interval))
 
+    # Drop profiling scopes accumulated by earlier work in this process
+    # (e.g. the bench e2e legs) — the first insert's report(reset=True)
+    # would otherwise absorb them and drive insert_mean negative.
+    profiling.report(reset=True)
+
     drift = lie_np.se3_exp(np.array([0, 0, drift_rot,
                                      drift_trans, 0, 0.2 * drift_trans]))
     T_true_prev = None
     T_odom = np.eye(4)
+    odom_inputs: list = []       # the drifted odometry chain fed to the backend
     checkpoints = {16, 32, 64, 128, 256, 512}
     ins_times, opt_times = [], []
     scopes: dict = {}
@@ -121,6 +127,7 @@ def run(n_submaps: int, interval: int, seed: int = 5, step: float = 6.0,
             T_odom = T_odom @ np.linalg.inv(T_true_prev) @ T_true @ drift
         T_true_prev = T_true
 
+        odom_inputs.append(T_odom.copy())
         sm = make_submap(rng, k, world, T_true)
         sm.T_world_origin = T_odom
         t0 = time.perf_counter()
@@ -159,6 +166,29 @@ def run(n_submaps: int, interval: int, seed: int = 5, step: float = 6.0,
             rows.append(row)
             print(json.dumps(rows[-1]))
             ins_times, opt_times, scopes = [], [], {}
+
+    # Final checkpoint: separate pre-closure drift from post-closure quality
+    # (the two were previously conflated in one "lap ATE" column). Force a
+    # terminal optimize so the reported post-closure ATE is the converged
+    # graph, not whatever the periodic interval left behind.
+    gm.find_overlapping_submaps(0.15)
+    t0 = time.perf_counter()
+    gm.optimize()
+    final_opt_ms = 1e3 * (time.perf_counter() - t0)
+    n = n_submaps
+
+    def _ate(poses):
+        errs = [float(np.linalg.norm(np.asarray(poses[i])[:2, 3]
+                                     - _true_xy(i, n, radius)))
+                for i in range(len(poses))]
+        return float(np.sqrt(np.mean(np.square(errs))))
+
+    rows[-1]["ate_pre_closure_m"] = _ate(odom_inputs)
+    rows[-1]["ate_post_closure_m"] = _ate(gm.poses)
+    rows[-1]["final_optimize_ms"] = final_opt_ms
+    print(json.dumps({k: rows[-1][k] for k in
+                      ("submaps", "ate_pre_closure_m", "ate_post_closure_m",
+                       "final_optimize_ms")}))
     return rows
 
 

@@ -51,6 +51,45 @@ def load_dataset(path: str):
     return imu, scans
 
 
+def _make_command_poller(glim, commands_path):
+    """Tail a JSONL command file and apply new lines to the LIVE run (the
+    interactive-correction loop: watch.py POST /command appends here).
+    Alignment runs on this feed thread; the factor injection itself goes
+    through request_to_add_between, applied on the global-mapping worker."""
+    if not commands_path:
+        return lambda: None
+    import json
+    from glim_tpu.viewer.interactive_viewer import (InteractiveViewer,
+                                                    execute_command)
+    # The async wrapper holds the real backend; commands read its submaps.
+    gm = getattr(glim.global_mapping, "global_mapping", glim.global_mapping)
+    viewer = InteractiveViewer(gm, live=True)
+    state = {"pos": 0}
+    open(commands_path, "a").close()          # ensure it exists for tail
+
+    def poll():
+        try:
+            with open(commands_path) as f:
+                f.seek(state["pos"])
+                lines = f.readlines()
+                state["pos"] = f.tell()
+        except OSError:
+            return
+        for line in lines:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                cmd = json.loads(line)
+            except ValueError:
+                print(f"[commands] bad JSON line ignored: {line[:80]}")
+                continue
+            out = execute_command(viewer, cmd)
+            print(f"[commands] {cmd.get('cmd')}: {out}")
+
+    return poll
+
+
 def _is_bag(path: str) -> bool:
     """A ROS bag rather than a converted dataset directory."""
     if os.path.isfile(path):
@@ -79,6 +118,12 @@ def main(argv=None):
     ap.add_argument("--viewer-stream", default=None, metavar="FILE.jsonl",
                     help="write a watchable run stream (replay with "
                          "glim_tpu/viewer/watch.html or tools/watch.py)")
+    ap.add_argument("--commands", default=None, metavar="FILE.jsonl",
+                    help="poll this JSONL file for interactive correction "
+                         "commands applied to the LIVE run (loop_close / "
+                         "optimize / find_loops — see "
+                         "viewer/interactive_viewer.py; watch.py POSTs "
+                         "here)")
     args = ap.parse_args(argv)
 
     from glim_tpu.pipeline import GlimTPU
@@ -111,6 +156,7 @@ def main(argv=None):
         print(f"viewer stream -> {args.viewer_stream} "
               f"(open glim_tpu/viewer/watch.html, or "
               f"python -m glim_tpu.tools.watch --stream {args.viewer_stream})")
+    poll_commands = _make_command_poller(glim, args.commands)
     t0 = time.perf_counter()
     n = 0
     if stream_bag:
@@ -143,6 +189,7 @@ def main(argv=None):
                 msg.stamp = msg.stamp + points_time_offset
             glim.insert_frame(msg)
             n += 1
+            poll_commands()
             while glim.workload() > args.max_workload:
                 time.sleep(0.01)
             if not glim.ok():
@@ -156,6 +203,7 @@ def main(argv=None):
                                 imu[imu_idx, 4:7])
                 imu_idx += 1
             glim.insert_frame(RawPoints(stamp=stamp, points=pts, times=times))
+            poll_commands()
             # Adaptive throttling (the glim_rosbag playback-rate control).
             while glim.workload() > args.max_workload:
                 time.sleep(0.01)

@@ -24,6 +24,10 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stream", required=True, help="viewer .jsonl stream")
+    ap.add_argument("--commands", default=None, metavar="FILE.jsonl",
+                    help="accept POST /command and append it here — pair "
+                         "with glim_runner --commands FILE.jsonl for live "
+                         "interactive corrections (loop_close etc.)")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--host", default="127.0.0.1")
     args = ap.parse_args(argv)
@@ -31,8 +35,30 @@ def main(argv=None):
     html = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "viewer", "watch.html")
     stream = os.path.abspath(args.stream)
+    commands = os.path.abspath(args.commands) if args.commands else None
 
     class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            import json
+            if self.path.split("?")[0] != "/command" or commands is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            try:
+                cmd = json.loads(body)       # validate before appending
+                with open(commands, "a") as f:
+                    f.write(json.dumps(cmd) + "\n")
+                out, code = b'{"ok": true}', 200
+            except ValueError:
+                out, code = b'{"ok": false, "error": "bad json"}', 400
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
         def do_GET(self):
             path = self.path.split("?")[0]
             if path in ("/", "/watch.html"):

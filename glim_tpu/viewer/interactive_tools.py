@@ -33,6 +33,10 @@ class ManualLoopCloseResult:
     T_target_source: np.ndarray
     inlier_fraction: float
     method: str
+    # 6x6 information of the aligned pair — the GICP Hessian at the refined
+    # pose, the reference's BetweenFactor noise model
+    # (manual_loop_close_modal.cpp:562-574).
+    information: Optional[np.ndarray] = None
 
 
 class ManualLoopClose:
@@ -83,9 +87,15 @@ class ManualLoopClose:
         T_ref = np.asarray(T_cur, np.float64)
         frac = float(gicp.inlier_fraction(jnp.eye(4), jnp.asarray(T_ref, jnp.float32),
                                           sp, sm_, tp, tm, jnp.float32(self.max_corr)))
+        # Information = GICP Hessian at the refined pose (the reference's
+        # BetweenFactor noise model, manual_loop_close_modal.cpp:562-574).
+        s_fin = gicp.gicp_linearize(jnp.eye(4), jnp.asarray(T_ref, jnp.float32),
+                                    sp, sc, sm_, tp, tc, tm,
+                                    jnp.float32(self.max_corr))
+        info = np.asarray(s_fin.H_ss, np.float64)
         logger.info("manual loop close (%s): inliers %.2f", method, frac)
         return ManualLoopCloseResult(T_target_source=T_ref, inlier_fraction=frac,
-                                     method=method)
+                                     method=method, information=info)
 
 
 @dataclass
