@@ -170,6 +170,15 @@ class KeyframeManager:
         self.entropy_thresh = entropy_thresh
         self.model_capacities = model_capacities
         self.model_resolutions = model_resolutions
+        # Traced per-level resolutions used for model REBUILDS: adaptive
+        # resolution (reference odometry_estimation_gpu.cpp:89-93 re-derives
+        # it from each frame's median distance) updates these device scalars
+        # per keyframe insert; the rebuild re-inserts every surviving
+        # keyframe at the new scale, and because resolution is a traced
+        # pytree leaf the change never recompiles. Between rebuilds the
+        # fast-path merge keeps the accumulated map's own (old) resolution —
+        # mixing scales inside one table would corrupt the keys.
+        self.model_res_dev = [jnp.float32(r) for r in model_resolutions]
         K = max_num_keyframes + 1          # room for insert-then-evict
         self.store = empty_keyframe_store(K, C,  mini_capacity,
                                           model_resolutions[-1])
@@ -181,6 +190,11 @@ class KeyframeManager:
         self._entropy_avg = 0.0
         self._entropy_n = 0
         self.marginalized_callback = None  # set by the odometry module
+
+    def set_model_resolutions(self, res_dev: List) -> None:
+        """Update the traced per-level rebuild resolutions (device scalars
+        or floats). Takes effect at the next eviction-triggered rebuild."""
+        self.model_res_dev = [jnp.asarray(r, jnp.float32) for r in res_dev]
 
     # -- queries ---------------------------------------------------------
 
@@ -233,9 +247,8 @@ class KeyframeManager:
         if evicted:
             # Rebuild every model level from the surviving keyframes.
             model = tuple(
-                rebuild_level(self.store, cap, jnp.float32(res),
-                              jnp.int32(step_id))
-                for cap, res in zip(self.model_capacities, self.model_resolutions))
+                rebuild_level(self.store, cap, res, jnp.int32(step_id))
+                for cap, res in zip(self.model_capacities, self.model_res_dev))
             if self.marginalized_callback is not None:
                 self.marginalized_callback(evicted)
         else:

@@ -30,6 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,6 +50,18 @@ from glim_tpu.utils.registry import register_module
 logger = create_module_logger("odom")
 
 GRAVITY = np.array([0.0, 0.0, -9.80665])
+
+
+@jax.jit
+def _adaptive_base_resolution(points, mask, res_min, res_max, dmin, dmax):
+    """Traced adaptive base resolution from a frame's median point distance
+    (reference odometry_estimation_gpu.cpp:89-93): linear ramp res_min →
+    res_max over median distance dmin → dmax. All-scalar device program —
+    dispatched per KEYFRAME insert, never fetched to host."""
+    from glim_tpu.ops.pointops import median_distance
+    med = median_distance(points, mask)
+    t = jnp.clip((med - dmin) / jnp.maximum(dmax - dmin, 1e-6), 0.0, 1.0)
+    return res_min + t * (res_max - res_min)
 
 # Window capacity buckets (compile cache classes). smoother_lag at the
 # nominal 10 Hz scan rate picks the smallest bucket >= lag * 10, so the
@@ -232,12 +245,12 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         (reference seeds `keyframes` with the first estimation frame)."""
         p = self.params
         # Adaptive voxel resolution from the median point distance
-        # (reference odometry_estimation_gpu.cpp:89-93). The reference
-        # re-evaluates it per frame because each frame carries its own
-        # voxelmaps; here the accumulated model map's resolution is decided
-        # ONCE, from the first frame — the knob exists to match the map
-        # scale to the environment (indoor vs outdoor), which the first
-        # scan already reveals.
+        # (reference odometry_estimation_gpu.cpp:89-93). The INITIAL scale
+        # comes from the first frame (a one-off host fetch before the hot
+        # loop starts); afterwards every keyframe insert re-derives the
+        # traced rebuild resolution from its own geometry in
+        # _maybe_update_model, so the accumulated model re-scales across
+        # indoor→outdoor transitions at the next rebuild.
         if p.voxel_resolution_max > p.voxel_resolution and \
                 getattr(self, "_adaptive_resolution", True):
             from glim_tpu.ops.pointops import median_distance
@@ -275,11 +288,32 @@ class OdometryEstimationIMU(OdometryEstimationBase):
         """Keyframe-strategy decision for the previous frame (its status has
         landed), then map insert/evict via the manager."""
         kfm = self.keyframes
+        p = self.params
         force = prev.id < self.params.bootstrap_frames
         if force or kfm.should_insert(float(s[STATUS_OVERLAP]),
                                       float(s[STATUS_DTRANS]),
                                       float(s[STATUS_DROT]),
                                       float(s[STATUS_LOGDET])):
+            # Per-keyframe adaptive resolution (reference re-derives the
+            # voxel scale from each frame's median distance,
+            # odometry_estimation_gpu.cpp:89-93): update the manager's
+            # traced rebuild resolutions from THIS keyframe's geometry.
+            # Takes effect at the next eviction-triggered model rebuild —
+            # in steady state (store at capacity) that is every insert —
+            # so indoor→outdoor transitions re-scale the whole model map
+            # without a host sync or a recompile.
+            if p.voxel_resolution_max > p.voxel_resolution and \
+                    getattr(self, "_adaptive_resolution", True) and \
+                    getattr(self, "_adaptive_per_keyframe", True):
+                base = _adaptive_base_resolution(
+                    prev.frame.points, prev.frame.mask,
+                    jnp.float32(p.voxel_resolution),
+                    jnp.float32(p.voxel_resolution_max),
+                    jnp.float32(p.voxel_resolution_dmin),
+                    jnp.float32(p.voxel_resolution_dmax))
+                kfm.set_model_resolutions(
+                    [base * (p.voxelmap_scaling_factor ** lvl)
+                     for lvl in range(max(p.voxelmap_levels, 1))])
             T_opt = s[STATUS_POSES + 19:STATUS_POSES + 35].reshape(4, 4)
             self.model = kfm.insert(
                 prev.frame.points, prev.frame.covs, prev.frame.mask,
