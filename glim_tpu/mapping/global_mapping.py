@@ -431,18 +431,29 @@ class GlobalMapping(GlobalMappingBase):
             if tgt != src - 1:
                 self._new_loop_since_opt = True
 
-    def _lookup_factor(self, tgt: int, src: int) -> dict:
-        """Correspondence search of src's cloud against ALL of tgt's
-        voxelmap levels; each level becomes its own factor row in the
-        padded stack (reference :455-470 creates one VGICP factor per
-        level)."""
-        T_rel = np.linalg.inv(self.poses[tgt]) @ self.poses[src]
-        levels = [gicp.vgicp_lookup(
-            jnp.asarray(self.poses[tgt], jnp.float32),
-            jnp.asarray(self.poses[src], jnp.float32),
-            self._m_pts[src], self._m_mask[src], vm)
-            for vm in self.voxelmaps[tgt]]
-        return dict(levels=levels, T_rel=T_rel)
+    def _lookup_rows(self, pairs: list, L: int) -> list:
+        """Stacked correspondence search for (tgt, src) pairs: ONE device
+        program per voxelmap level (reference :455-470 creates one VGICP
+        factor per level). Returns one (mu, ct, hit) triple per level,
+        each stacked over the bucketized pair axis."""
+        Sp = bucket(len(self.submaps))
+        M = int(self._m_pts[0].shape[0])
+        sm_pts, _ = self._sm_stacks(Sp, M)
+        sm_mask = self._sm_stack["mask"]
+        lk = self._lk_stacks(Sp)
+        poses_dev = pad_stack([np.asarray(T, np.float32)
+                               for T in self.poses], Sp,
+                              np.eye(4, dtype=np.float32))
+        R = len(pairs)
+        Rp = bucket(R)
+        tgt = jnp.asarray(np.array([t for t, _ in pairs]
+                                   + [0] * (Rp - R), np.int32))
+        src = jnp.asarray(np.array([s for _, s in pairs]
+                                   + [0] * (Rp - R), np.int32))
+        return [gicp.vgicp_lookup_stacked(poses_dev, tgt, src, sm_pts,
+                                          sm_mask, lk[lvl]["keys"],
+                                          lk[lvl]["stats"], lk[lvl]["res"])
+                for lvl in range(L)]
 
     def _refresh_stale_factors(self) -> int:
         """Re-search correspondences for factors whose relative pose moved
@@ -473,46 +484,45 @@ class GlobalMapping(GlobalMappingBase):
         device program per voxelmap level, then ONE batched scatter per
         match-stack leaf (the per-factor path dispatched L lookup programs
         per factor plus 3L .at[row].set writes — thousands of round-trips
-        per refresh round at 128 submaps)."""
+        per refresh round at 128 submaps).
+
+        The per-pair cache stores a LAZY row reference (the stacked output
+        plus a row index) instead of sliced mu/ct/hit arrays: eager slicing
+        issued 3*L device slice programs per pair (~3.7k dispatches per
+        refresh round at 128 submaps / 621 factors) for data only ever read
+        on the rare from-cache stack rebuild. The pinned stacks are shared
+        by every pair of one search round and are dropped as soon as all
+        its pairs have been re-searched."""
         if not pairs:
             return
         p = self.params
         L = max(p.submap_voxelmap_levels, 1)
-        Sp = bucket(len(self.submaps))
-        M = int(self._m_pts[0].shape[0])
-        sm_pts, _ = self._sm_stacks(Sp, M)
-        sm_mask = self._sm_stack["mask"]
-        lk = self._lk_stacks(Sp)
-        poses_dev = pad_stack([np.asarray(T, np.float32)
-                               for T in self.poses], Sp,
-                              np.eye(4, dtype=np.float32))
-        R = len(pairs)
-        Rp = bucket(R)
-        tgt = jnp.asarray(np.array([t for t, _ in pairs]
-                                   + [0] * (Rp - R), np.int32))
-        src = jnp.asarray(np.array([s for _, s in pairs]
-                                   + [0] * (Rp - R), np.int32))
-        outs = [gicp.vgicp_lookup_stacked(poses_dev, tgt, src, sm_pts,
-                                          sm_mask, lk[lvl]["keys"],
-                                          lk[lvl]["stats"], lk[lvl]["res"])
-                for lvl in range(L)]
+        outs = self._lookup_rows(pairs, L)
         for k, (pair, fi) in enumerate(zip(pairs, fis)):
             T_rel = np.linalg.inv(self.poses[pair[0]]) @ self.poses[pair[1]]
-            self._f_cache[pair] = dict(
-                levels=[(mu[k], ct[k], hit[k]) for mu, ct, hit in outs],
-                T_rel=T_rel)
+            self._f_cache[pair] = dict(T_rel=T_rel, stacks=outs, row=k)
             self._match_dirty.add(fi)
 
-        # Fast path: write the refreshed rows straight into the live match
-        # stack, one scatter per leaf. Rows are padded with an out-of-range
-        # index and written mode="drop" so the padded garbage rows (their
-        # lookups ran against submap 0) never land anywhere.
         st = self._match_stack
         key = tuple(self.matching_factors)
         if (st is None or st["L"] != L
                 or st["key"] != key[:len(st["key"])]
                 or max(fis) * L + L > st["Fp"]):
-            return      # _match_stacks rebuild path consumes the caches
+            return      # _match_stacks rebuild/grow path consumes the caches
+        self._scatter_rows(st, outs, fis)
+        st["key"] = key
+        for fi in fis:
+            self._match_dirty.discard(fi)
+
+    @staticmethod
+    def _scatter_rows(st: dict, outs: list, fis: list) -> None:
+        """Write freshly searched factor rows straight into the live match
+        stack, one scatter per leaf. Rows are padded with an out-of-range
+        index and written mode="drop" so the padded garbage rows (their
+        lookups ran against submap 0) never land anywhere."""
+        L = st["L"]
+        Rp = int(outs[0][0].shape[0])
+        R = len(fis)
         rows_np = np.full((L, Rp), st["Fp"], np.int32)
         for lvl in range(L):
             rows_np[lvl, :R] = np.asarray(fis, np.int32) * L + lvl
@@ -523,9 +533,6 @@ class GlobalMapping(GlobalMappingBase):
             jnp.concatenate([o[1] for o in outs]), mode="drop")
         st["f_hit"] = st["f_hit"].at[rows].set(
             jnp.concatenate([o[2] for o in outs]), mode="drop")
-        st["key"] = key
-        for fi in fis:
-            self._match_dirty.discard(fi)
 
     def _batch_overlaps(self, pairs: list) -> np.ndarray:
         """Overlap fraction of submap src against submap tgt's finest
@@ -653,10 +660,12 @@ class GlobalMapping(GlobalMappingBase):
 
     def _match_stacks(self, Fp: int, L: int, M: int):
         """Padded correspondence stacks (f_mu/f_ct/f_hit), maintained
-        incrementally: appends write new rows, correspondence refreshes
-        rewrite exactly the stale rows. Keyed by the factor-pair tuple so
-        external edits to matching_factors (recover tooling, tests) that
-        break the append-only prefix force a clean rebuild."""
+        incrementally: appends and refreshes scatter exactly the dirty
+        rows, a bucket crossing copies the old rows into fresh padding
+        (one device set per leaf), and only a break of the append-only
+        key prefix (recover tooling, tests) forces a from-cache rebuild.
+        Keyed by the factor-pair tuple so external edits to
+        matching_factors are detected."""
         key = tuple(self.matching_factors)
         zero_mu = np.zeros((M, 3), np.float32)
         zero_ct = np.zeros((M, 3, 3), np.float32)
@@ -665,37 +674,51 @@ class GlobalMapping(GlobalMappingBase):
         def levels_of(pair):
             c = self._f_cache.get(pair)
             if c is None:     # externally added pair: search on demand
-                c = self._lookup_factor(pair[0], pair[1])
+                c = dict(T_rel=np.linalg.inv(self.poses[pair[0]])
+                         @ self.poses[pair[1]],
+                         stacks=self._lookup_rows([pair], L), row=0)
                 self._f_cache[pair] = c
-            return c["levels"][:L]
+            k = c["row"]
+            return [(mu[k], ct[k], hit[k]) for mu, ct, hit in
+                    c["stacks"][:L]]
 
         st = self._match_stack
-        if (st is not None and (st["Fp"] != Fp or st["L"] != L
-                                or st["key"] != key[:len(st["key"])])):
+        if st is not None and (st["L"] != L
+                               or st["key"] != key[:len(st["key"])]):
             st = None
+        if st is not None and st["Fp"] != Fp:
+            n_old = len(st["key"]) * L
+            if n_old > Fp:
+                st = None
+            else:
+                # Bucket crossing: copy the live rows into fresh padding —
+                # byte-identical to the rows the scatter fast path wrote,
+                # no re-search of the whole map.
+                def _grow(a, zero):
+                    out = jnp.tile(jnp.asarray(zero)[None],
+                                   (Fp,) + (1,) * zero.ndim)
+                    return out.at[:n_old].set(a[:n_old]) if n_old else out
+                st = dict(Fp=Fp, L=L, key=st["key"],
+                          f_mu=_grow(st["f_mu"], zero_mu),
+                          f_ct=_grow(st["f_ct"], zero_ct),
+                          f_hit=_grow(st["f_hit"], zero_hit))
         if st is None:
-            lvl_caches = []
-            for pair in key:
-                lvl_caches.extend(levels_of(pair))
-            st = dict(
-                Fp=Fp, L=L, key=key,
-                f_mu=pad_stack([mu for mu, _, _ in lvl_caches], Fp, zero_mu),
-                f_ct=pad_stack([ct for _, ct, _ in lvl_caches], Fp, zero_ct),
-                f_hit=pad_stack([h for _, _, h in lvl_caches], Fp, zero_hit))
-            self._match_dirty.clear()
-        else:
-            todo = sorted(set(self._match_dirty)
-                          | set(range(len(st["key"]), len(key))))
-            for p_idx in todo:
-                if p_idx >= len(key):
-                    continue
-                for lvl, (mu, ct, hit) in enumerate(levels_of(key[p_idx])):
-                    row = p_idx * L + lvl
-                    st["f_mu"] = st["f_mu"].at[row].set(mu)
-                    st["f_ct"] = st["f_ct"].at[row].set(ct)
-                    st["f_hit"] = st["f_hit"].at[row].set(hit)
-            st["key"] = key
-            self._match_dirty.clear()
+            st = dict(Fp=Fp, L=L, key=(),
+                      f_mu=pad_stack([], Fp, zero_mu),
+                      f_ct=pad_stack([], Fp, zero_ct),
+                      f_hit=pad_stack([], Fp, zero_hit))
+            self._match_dirty = set(range(len(key)))
+        todo = sorted((set(self._match_dirty)
+                       | set(range(len(st["key"]), len(key))))
+                      & set(range(len(key))))
+        for p_idx in todo:
+            for lvl, (mu, ct, hit) in enumerate(levels_of(key[p_idx])):
+                row = p_idx * L + lvl
+                st["f_mu"] = st["f_mu"].at[row].set(mu)
+                st["f_ct"] = st["f_ct"].at[row].set(ct)
+                st["f_hit"] = st["f_hit"].at[row].set(hit)
+        st["key"] = key
+        self._match_dirty.clear()
         self._match_stack = st
         return st["f_mu"], st["f_ct"], st["f_hit"]
 

@@ -134,7 +134,7 @@ class TestGlobalMappingLevels:
         for i in range(3):
             gm.insert_submap(make_submap(i, np.array([2.0 * i, 0.0, 0.0])))
         assert all(len(vm) == 3 for vm in gm.voxelmaps)
-        assert all(len(c["levels"]) == 3 for c in gm._f_cache.values())
+        assert all(len(c["stacks"]) == 3 for c in gm._f_cache.values())
         assert all(np.all(np.isfinite(T)) for T in gm.poses)
 
     def test_randomsampling_rate_shrinks_slice(self, rng):
