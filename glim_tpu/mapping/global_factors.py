@@ -237,20 +237,35 @@ def global_gn(poses0, junc0,
         H = H + jnp.eye(D) * 1e-6
         return H, g, err
 
-    def step(carry, _):
-        T, junc = carry
-        H, g, err = linearize(T, junc)
-        delta = solver.solve_damped(H, g, jnp.float32(1e-4))
-        dT = delta[:Sp * 6].reshape(Sp, 6)
-        T = T @ lie.se3_exp(dT)
-        junc = junc + delta[Sp * 6:].reshape(Jp, 12) if Jp else junc
-        return (T, junc), err
+    # Each scan step linearizes + solves under a convergence gate: once the
+    # update norm drops below tol, remaining iterations take the (cheap)
+    # skip branch — lax.cond executes only the taken branch on TPU, so a
+    # steady-state optimize (poses barely moving) pays for 1-2 real
+    # linearizations instead of all `iters`. err/min_diag ride the carry
+    # from the LAST REAL linearization (the former extra post-scan
+    # linearize just for the Hessian diagonal cost a full iteration).
+    tol = jnp.float32(1e-4)
 
-    (T_fin, junc_fin), errs = jax.lax.scan(step, (poses0, junc0), None,
-                                           length=iters)
-    H_fin, _, err_fin = linearize(T_fin, junc_fin)
-    diag = jnp.diagonal(H_fin)[:Sp * 6].reshape(Sp, 6)
-    min_diag = jnp.min(diag, axis=1)
+    def step(carry, _):
+        T, junc, err_prev, diag_prev, done = carry
+
+        def do(operand):
+            T, junc, _, _, _ = operand
+            H, g, err = linearize(T, junc)
+            delta = solver.solve_damped(H, g, jnp.float32(1e-4))
+            dT = delta[:Sp * 6].reshape(Sp, 6)
+            T2 = T @ lie.se3_exp(dT)
+            junc2 = junc + delta[Sp * 6:].reshape(Jp, 12) if Jp else junc
+            diag = jnp.min(jnp.diagonal(H)[:Sp * 6].reshape(Sp, 6), axis=1)
+            return T2, junc2, err, diag, jnp.max(jnp.abs(delta)) < tol
+
+        return jax.lax.cond(done, lambda o: o, do,
+                            (T, junc, err_prev, diag_prev, done)), None
+
+    init = (poses0, junc0, jnp.float32(0.0),
+            jnp.full(Sp, jnp.inf, jnp.float32), jnp.bool_(False))
+    (T_fin, junc_fin, err_fin, min_diag, _), _ = jax.lax.scan(
+        step, init, None, length=iters)
     return T_fin, junc_fin, err_fin, min_diag
 
 
