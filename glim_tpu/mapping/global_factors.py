@@ -122,21 +122,28 @@ def global_gn(poses0, junc0,
         Sp * 6 + jnp.arange(Jp)[:, None] * 12 + jnp.arange(12)[None, :],
     ], axis=1)                                                    # (Jp, 24)
 
+    # One-time SoA relayout per call (iteration-invariant, hoisted out of
+    # the GN scan by XLA): the point axis goes LAST (TPU lanes) and the
+    # symmetric 3x3s become 6 packed planes — the AoS (C, 3, 3)/(C, 3, 6)
+    # temporaries only occupy a sliver of each (8, 128) register tile and
+    # measured ~30x slower per linearize chunk (ops/gicp.py SoA note).
+    f_mu_s = jnp.swapaxes(f_mu, -1, -2)           # (Fp, 3, M)
+    f_ct_s = gicp.sym_pack_soa(f_ct)              # (Fp, 6, M)
+    sm_pts_s = jnp.swapaxes(sm_pts, -1, -2)       # (Sp, 3, M)
+    sm_covs_s = gicp.sym_pack_soa(sm_covs)        # (Sp, 6, M)
+
     def match_blocks(T):
         def one(tgt, src, mu, ct, hit, w):
-            s = gicp.vgicp_linearize_cached(T[tgt], T[src], sm_pts[src],
-                                            sm_covs[src], mu, ct,
-                                            hit & (w > 0))
-            return (s.H_tt, s.H_ts, s.H_ss, s.b_t, s.b_s, s.error)
+            T_rel = lie.se3_inv(T[tgt]) @ T[src]
+            return gicp.linearize_core_soa(
+                T_rel[:3, :3], T_rel[:3, 3],
+                sm_pts_s[src], sm_covs_s[src], mu, ct, hit & (w > 0))
 
         def chunked_vmap(tgt, src, mu, ct, hit, w):
-            # Bound peak HBM: a flat vmap over thousands of factor rows
-            # materializes (F, C, 3, 6) Jacobian/weight temporaries for ALL
-            # factors at once (multi-GB past the 1024-row bucket); scanning
-            # 128-row chunks keeps the MXU saturated at 1/16th the
-            # footprint.
+            # Chunked map over factor rows: bounds peak HBM for the
+            # per-point temporaries of in-flight rows.
             n = tgt.shape[0]
-            CH = min(n, 128)
+            CH = min(n, 256)
             if n % CH != 0:
                 return jax.vmap(one)(tgt, src, mu, ct, hit, w)
             args = jax.tree_util.tree_map(
@@ -155,8 +162,8 @@ def global_gn(poses0, junc0,
                      out_specs=P("factors"))
             def run(T_rep, tgt, src, mu, ct, hit, w):
                 return chunked_vmap(tgt, src, mu, ct, hit, w)
-            return run(T, f_tgt, f_src, f_mu, f_ct, f_hit, f_w)
-        return chunked_vmap(f_tgt, f_src, f_mu, f_ct, f_hit, f_w)
+            return run(T, f_tgt, f_src, f_mu_s, f_ct_s, f_hit, f_w)
+        return chunked_vmap(f_tgt, f_src, f_mu_s, f_ct_s, f_hit, f_w)
 
     def linearize(T, junc):
         H = jnp.zeros((D, D))
