@@ -309,6 +309,22 @@ def window_scan_step(win: WindowState, vms,
         def lookup_all(T_wl, pts, mask):
             return [gicp.vgicp_lookup(jnp.eye(4), T_wl, pts, mask, vm)
                     for vm in vms]
+
+    def lookup_all_soa(T_wl, pts, mask):
+        """lookup_all + relayout of the correspondences to SoA (point axis
+        last, packed symmetric covs) — the linearizations consuming them
+        run ~30x faster in that layout (ops/gicp.py SoA note); the one-time
+        transpose per lookup is trivial next to the search itself."""
+        return [(jnp.swapaxes(mu, -1, -2), gicp.sym_pack_soa(Ct), hit)
+                for mu, Ct, hit in lookup_all(T_wl, pts, mask)]
+
+    def match_soa(T_wl, pts_s, covs_s, mu_s, ct_s, hit):
+        """H_ss/b_s/error of one cached-correspondence VGICP system (the
+        window only constrains the SOURCE pose; target is the world map).
+        Unused H_tt/H_ts/b_t outputs are dead-code-eliminated by XLA."""
+        out = gicp.linearize_core_soa(T_wl[:3, :3], T_wl[:3, 3],
+                                      pts_s, covs_s, mu_s, ct_s, hit)
+        return out[2], out[4], out[5]
     D = W * STATE_DIM
     T_imu_lidar = lie.se3_inv(T_lidar_imu)
     Ad = lie.se3_adjoint(lie.se3_inv(T_imu_lidar))
@@ -347,6 +363,9 @@ def window_scan_step(win: WindowState, vms,
                          scan_pts)
     covs_new, normals_new = cov_ops.estimate_covariances(
         deskewed, scan_mask, scan_neighbors, "plane")
+    # SoA mirrors of the scan geometry for the matching linearizations.
+    deskewed_s = jnp.swapaxes(deskewed, -1, -2)          # (3, C)
+    covs_new_s = gicp.sym_pack_soa(covs_new)             # (6, C)
 
     # --- 3. evict the oldest state (ring overflow OR smoother_lag age).
     # The decision is made ON THE HOST (deterministically, from the same
@@ -415,15 +434,16 @@ def window_scan_step(win: WindowState, vms,
         pts_k = jnp.take(pts_r, k, axis=0)
         covs_k = jnp.take(covs_r, k, axis=0)
         mask_k = jnp.take(mask_r, k, axis=0) & jnp.take(valid_r, k)
+        pts_k_s = jnp.swapaxes(pts_k, -1, -2)
+        covs_k_s = gicp.sym_pack_soa(covs_k)
         Hk = jnp.zeros((6, 6))
         gk = jnp.zeros(6)
         ek = jnp.zeros(())
-        for mu, Ct, hit in lookup_all(T_wl_k, pts_k, mask_k):
-            sys_k = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl_k, pts_k,
-                                                covs_k, mu, Ct, hit)
-            Hk = Hk + sys_k.H_ss
-            gk = gk + sys_k.b_s
-            ek = ek + sys_k.error
+        for mu, ct, hit in lookup_all_soa(T_wl_k, pts_k, mask_k):
+            Hs, bs, es = match_soa(T_wl_k, pts_k_s, covs_k_s, mu, ct, hit)
+            Hk = Hk + Hs
+            gk = gk + bs
+            ek = ek + es
         w_k = OLD_SUBSAMPLE * matching_weight
         do = jnp.take(valid_r, k) & (k < W - 1) & (k >= 0)
         sel = (jnp.arange(W) == k) & do
@@ -525,12 +545,12 @@ def window_scan_step(win: WindowState, vms,
         T_wl_n = T[W - 1] @ T_imu_lidar
         s = (W - 1) * STATE_DIM
         H_live = jnp.zeros((6, 6))
-        for mu_n, Ct_n, hit_n in corr_new:
-            sys_ = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl_n, deskewed,
-                                               covs_new, mu_n, Ct_n, hit_n)
-            H_live = H_live + matching_weight * (Ad.T @ sys_.H_ss @ Ad)
-            g = g.at[s:s + 6].add(matching_weight * (Ad.T @ sys_.b_s))
-            err = err + matching_weight * sys_.error
+        for mu_n, ct_n, hit_n in corr_new:
+            Hs, bs, es = match_soa(T_wl_n, deskewed_s, covs_new_s,
+                                   mu_n, ct_n, hit_n)
+            H_live = H_live + matching_weight * (Ad.T @ Hs @ Ad)
+            g = g.at[s:s + 6].add(matching_weight * (Ad.T @ bs))
+            err = err + matching_weight * es
         H = H.at[s:s + 6, s:s + 6].add(H_live)
 
         if vel_reg is not None:
@@ -552,7 +572,7 @@ def window_scan_step(win: WindowState, vms,
     H_live_fin = jnp.eye(6)
     for _ in range(outer_iters):
         T_wl_n = T_c[W - 1] @ T_imu_lidar
-        corr_new = lookup_all(T_wl_n, deskewed, scan_mask)
+        corr_new = lookup_all_soa(T_wl_n, deskewed, scan_mask)
         for _ in range(inner_iters):
             H_gn, g, err_fin, H_live_fin = linearize(T_c, v_c, b_c, corr_new)
             delta = solver.solve_damped(H_gn, g, jnp.float32(1e-4))
@@ -570,16 +590,17 @@ def window_scan_step(win: WindowState, vms,
 
     # --- 5b. freeze the newest matching linearization at the final pose ---
     T_wl_fin = T_c[W - 1] @ T_imu_lidar
+    sub_pts_s = deskewed_s[:, ::OLD_SUBSAMPLE]
+    sub_covs_s = covs_new_s[:, ::OLD_SUBSAMPLE]
     Hn = jnp.zeros((6, 6))
     gn = jnp.zeros(6)
     en = jnp.zeros(())
     hit0 = None
-    for mu, Ct, hit in lookup_all(T_wl_fin, sub_pts, sub_mask):
-        sysn = gicp.vgicp_linearize_cached(jnp.eye(4), T_wl_fin, sub_pts,
-                                           sub_covs, mu, Ct, hit)
-        Hn = Hn + sysn.H_ss
-        gn = gn + sysn.b_s
-        en = en + sysn.error
+    for mu, ct, hit in lookup_all_soa(T_wl_fin, sub_pts, sub_mask):
+        Hs, bs, es = match_soa(T_wl_fin, sub_pts_s, sub_covs_s, mu, ct, hit)
+        Hn = Hn + Hs
+        gn = gn + bs
+        en = en + es
         hit0 = hit if hit0 is None else hit0
     w_n = OLD_SUBSAMPLE * matching_weight
     mH_r = mH_r.at[W - 1].set(w_n * (Ad.T @ Hn @ Ad))

@@ -197,6 +197,19 @@ def linearize_core_soa(R_rel, t_rel, pts, covs, mu, ct, hit):
     return H_tt, H_ts, H_ss, b_t, b_s, err
 
 
+def _soa_system(R_rel, t_rel, src_pts, src_covs, mu, C_t, hit) -> FactorSystem:
+    """AoS-interface wrapper over the SoA core: converts the (C, 3)/(C, 3, 3)
+    operands once (a relayout XLA fuses into the producing gathers) and runs
+    the fast-layout linearization. All public linearizers route through
+    here, so every matching-factor call site gets the SoA speedup."""
+    out = linearize_core_soa(R_rel, t_rel,
+                             jnp.swapaxes(src_pts, -1, -2),
+                             sym_pack_soa(src_covs),
+                             jnp.swapaxes(mu, -1, -2),
+                             sym_pack_soa(C_t), hit)
+    return FactorSystem(*out, jnp.sum(hit > 0))
+
+
 @jax.jit
 def gicp_linearize(T_target: jnp.ndarray, T_source: jnp.ndarray,
                    src_pts: jnp.ndarray, src_covs: jnp.ndarray, src_mask: jnp.ndarray,
@@ -214,9 +227,8 @@ def gicp_linearize(T_target: jnp.ndarray, T_source: jnp.ndarray,
     C_t = tgt_covs[idx]
 
     inlier = src_mask & (d2 < max_dist * max_dist) & jnp.isfinite(d2)
-    C_s_rot = jnp.einsum("ij,cjk,lk->cil", R_rel, src_covs, R_rel)
-    omega = inv_sym3x3(C_t + C_s_rot)
-    return _linearize_core(R_rel, t_rel, src_pts, mu, omega, inlier.astype(q.dtype))
+    return _soa_system(R_rel, t_rel, src_pts, src_covs, mu, C_t,
+                       inlier.astype(q.dtype))
 
 
 @jax.jit
@@ -236,9 +248,8 @@ def vgicp_linearize(T_target: jnp.ndarray, T_source: jnp.ndarray,
     mu = row[:, :3]
     C_t = row[:, 3:].reshape(-1, 3, 3)
 
-    C_s_rot = jnp.einsum("ij,cjk,lk->cil", R_rel, src_covs, R_rel)
-    omega = inv_sym3x3(C_t + C_s_rot)
-    return _linearize_core(R_rel, t_rel, src_pts, mu, omega, hit.astype(q.dtype))
+    return _soa_system(R_rel, t_rel, src_pts, src_covs, mu, C_t,
+                       hit.astype(q.dtype))
 
 
 @jax.jit
@@ -309,10 +320,8 @@ def vgicp_linearize_cached(T_target: jnp.ndarray, T_source: jnp.ndarray,
                            hit: jnp.ndarray) -> FactorSystem:
     """Linearize with pre-fetched correspondences (see vgicp_lookup)."""
     T_rel = se3_inv(T_target) @ T_source
-    R_rel, t_rel = T_rel[:3, :3], T_rel[:3, 3]
-    C_s_rot = jnp.einsum("ij,cjk,lk->cil", R_rel, src_covs, R_rel)
-    omega = inv_sym3x3(C_t + C_s_rot)
-    return _linearize_core(R_rel, t_rel, src_pts, mu, omega, hit.astype(src_pts.dtype))
+    return _soa_system(T_rel[:3, :3], T_rel[:3, 3], src_pts, src_covs,
+                       mu, C_t, hit.astype(src_pts.dtype))
 
 
 @jax.jit
@@ -330,8 +339,11 @@ def icp_linearize(T_target: jnp.ndarray, T_source: jnp.ndarray,
     idx, d2 = nn_search(q, src_mask, tgt_pts, tgt_mask)
     mu = tgt_pts[idx]
     inlier = src_mask & (d2 < max_dist * max_dist) & jnp.isfinite(d2)
-    omega = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), q.shape + (3,))
-    return _linearize_core(R_rel, t_rel, src_pts, mu, omega, inlier.astype(q.dtype))
+    # Identity covariances on both sides halve to identity weights.
+    zeros = jnp.zeros(q.shape + (3,), q.dtype)
+    eyes = jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), q.shape + (3,))
+    return _soa_system(R_rel, t_rel, src_pts, zeros, mu, eyes,
+                       inlier.astype(q.dtype))
 
 
 @jax.jit
