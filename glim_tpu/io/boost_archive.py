@@ -54,8 +54,13 @@ class_id_optional), so the reader must mirror the registration order of the
 writer's type traversal — the schema table below encodes that traversal.
 
 Scope and assumptions (documented, not silently guessed):
-  * Rot3 in rotation-matrix mode (9 doubles rot11..rot33) — the reference
-    links a default gtsam build (GTSAM_USE_QUATERNIONS=OFF).
+  * Rot3: WRITE side emits rotation-matrix mode (9 doubles
+    rot11..rot33 — the reference links a default GTSAM_USE_QUATERNIONS=OFF
+    build). READ side self-discriminates: quaternion-mode archives
+    (4 doubles w,x,y,z, optionally behind the Quaternion sub-object's
+    class-info preamble) are detected from the first Rot3's payload shape
+    and converted — see BoostBinaryReader._read_rot3. Support matrix:
+    read {matrix, quaternion} x write {matrix}.
   * noiseModel::Diagonal serializes sigmas_/invsigmas_/precisions_;
     Isotropic adds sigma_/invsigma_; Gaussian carries
     boost::optional<Matrix> sqrt_information_ (bool flag + matrix).
@@ -167,7 +172,11 @@ SCHEMA: Dict[str, dict] = {
     # ---- geometry ----------------------------------------------------- #
     # field name "." = the python value IS the field (no wrapping dict)
     "Vector3": dict(tracked=False, version=0, fields=[(".", "raw3")]),
-    "Rot3": dict(tracked=False, version=0, fields=[("mat", "raw9")]),
+    "Rot3": dict(tracked=False, version=0, fields=[("mat", "rot3")]),
+    # Synthetic entry for the Eigen::Quaterniond sub-object a
+    # GTSAM_USE_QUATERNIONS build serializes inside Rot3 (read-side only;
+    # registered to keep the archive's class-id sequence aligned).
+    "Quaternion": dict(tracked=False, version=0, fields=[(".", "raw3")]),
     "Pose3": dict(tracked=False, version=0,
                   fields=[("R", "val:Rot3"), ("t", "val:Vector3")]),
     "ConstantBias": dict(tracked=False, version=0,
@@ -406,8 +415,10 @@ class BoostBinaryWriter:
             w.i32(int(v))
         elif ftype == "raw3":
             w.f64s(np.asarray(v, np.float64).reshape(3))
-        elif ftype == "raw9":
-            # row-major rot11..rot33 (gtsam Rot3 serializes element-wise)
+        elif ftype in ("raw9", "rot3"):
+            # row-major rot11..rot33 (gtsam Rot3 serializes element-wise;
+            # we WRITE matrix mode only — the reference links a default
+            # GTSAM_USE_QUATERNIONS=OFF build)
             w.f64s(np.asarray(v, np.float64).reshape(3, 3).ravel())
         elif ftype == "vecXd":
             arr = np.asarray(v, np.float64).ravel()
@@ -452,6 +463,22 @@ class BoostBinaryWriter:
         return self.w.bytes_()
 
 
+def _is_rotation(m: np.ndarray, tol: float = 1e-6) -> bool:
+    with np.errstate(over="ignore", invalid="ignore"):
+        return bool(np.all(np.isfinite(m))
+                    and np.abs(m @ m.T - np.eye(3)).max() < tol
+                    and abs(np.linalg.det(m) - 1.0) < tol)
+
+
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """(w, x, y, z) unit quaternion -> 3x3 rotation matrix."""
+    w, x, y, z = (float(v) for v in q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------
@@ -460,6 +487,12 @@ class BoostBinaryReader:
     def __init__(self, data: bytes):
         self.r = Reader(data)
         self.ctx = _Context()
+        # Rot3 serialization mode, discriminated from the first Rot3's
+        # payload: "matrix" (9 doubles, default gtsam) or "quaternion"
+        # (GTSAM_USE_QUATERNIONS=ON: 4 doubles w,x,y,z, optionally behind
+        # the Quaternion sub-object's class-info preamble).
+        self._rot3_mode = None
+        self._quat_preamble = False
         sig = self.r.string()
         if sig != SIGNATURE.decode():
             raise ValueError(f"not a boost binary archive (signature {sig!r})")
@@ -535,6 +568,61 @@ class BoostBinaryReader:
         v["_type"] = tname
         return v
 
+    def _read_rot3(self) -> np.ndarray:
+        """Self-discriminating Rot3 read: default gtsam serializes 9 row-
+        major doubles (rot11..rot33); a GTSAM_USE_QUATERNIONS=ON build
+        serializes the Eigen quaternion (w,x,y,z per the quaternion
+        serializer in gtsam/base/Vector.h), preceded ONCE by that
+        sub-object's boost class-info preamble. The mode is decided on the
+        FIRST Rot3 — a valid rotation matrix read as 9 doubles is
+        orthonormal, while a quaternion payload misread as 9 doubles
+        essentially never is — and then pinned for the whole archive
+        (mixed modes are impossible in one gtsam build)."""
+        r = self.r
+        if self._rot3_mode is None:
+            off0 = r.off
+            try:
+                m = r.f64s(9).reshape(3, 3)
+            except ValueError:
+                m = None
+            if m is not None and _is_rotation(m):
+                self._rot3_mode = "matrix"
+                return m
+            self._rot3_mode = "quaternion"
+            for preamble in (True, False):
+                r.off = off0
+                try:
+                    if preamble:
+                        trk = r.u8()
+                        ver = r.u32()
+                        if trk not in (0, 1) or ver > 255:
+                            continue
+                    q = r.f64s(4)
+                except ValueError:
+                    continue
+                if np.all(np.isfinite(q)) \
+                        and abs(float(q @ q) - 1.0) < 1e-6:
+                    self._quat_preamble = preamble
+                    if preamble:
+                        # Mirror the writer's class registration so later
+                        # class ids stay aligned.
+                        self.ctx.register_class("Quaternion")
+                        self.ctx.info_written.add("Quaternion")
+                    return _quat_to_mat(q)
+            raise ValueError(
+                "boost archive: Rot3 payload is neither an orthonormal "
+                "3x3 (matrix-mode gtsam) nor a unit quaternion "
+                "(GTSAM_USE_QUATERNIONS build) - refusing to guess")
+        if self._rot3_mode == "matrix":
+            m = r.f64s(9).reshape(3, 3)
+            if not _is_rotation(m, tol=1e-3):
+                raise ValueError("boost archive: non-orthonormal Rot3")
+            return m
+        q = r.f64s(4)
+        if not np.all(np.isfinite(q)) or abs(float(q @ q) - 1.0) > 1e-3:
+            raise ValueError("boost archive: non-unit quaternion in Rot3")
+        return _quat_to_mat(q)
+
     def _sptr(self, base: str):
         self._class_info(f"sptr<{base}>")
         return self.load_pointer()
@@ -560,6 +648,8 @@ class BoostBinaryReader:
             return r.f64s(3)
         if ftype == "raw9":
             return r.f64s(9).reshape(3, 3)
+        if ftype == "rot3":
+            return self._read_rot3()
         if ftype == "vecXd":
             return r.f64s(r.u64())
         if ftype == "matXd":

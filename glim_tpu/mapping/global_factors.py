@@ -108,7 +108,14 @@ def global_gn(poses0, junc0,
               iters: int = 5, shard_mesh=None):
     """Damped-GN over submap poses (+ junction states). Returns
     (poses', junc', err, min_diag (Sp,) — per-pose Hessian diagonal minima
-    for selective indeterminacy recovery)."""
+    for selective indeterminacy recovery).
+
+    err and min_diag come from the LAST REAL linearization under the
+    convergence gate — i.e. they describe the iterate one update BEFORE the
+    returned poses, not the returned poses themselves. That is sufficient
+    for their consumers (monitoring error trend; rank-deficiency detection,
+    which is a structural property that does not move in one sub-tolerance
+    step) and avoids a whole extra linearization per call."""
     D = Sp * 6 + Jp * 12
     rows6 = jnp.arange(Sp)[:, None] * 6 + jnp.arange(6)[None, :]
 

@@ -81,6 +81,11 @@ class GlobalMappingParams:
     # more than one accelerator is attached (the always-on analogue of the
     # reference's CUDA-stream fan-out, odometry_estimation_gpu.cpp:139-147).
     use_device_mesh: bool = True
+    # Warm the next padding bucket's programs on a background thread so the
+    # live pipeline never blocks on an XLA compile (the reference's iSAM2
+    # increments never stall; global_mapping.cpp:492-544). None -> resolve
+    # from GLIM_TPU_PRECOMPILE env (default on).
+    enable_precompile: Optional[bool] = None
 
     @staticmethod
     def from_config(config) -> "GlobalMappingParams":
@@ -102,6 +107,9 @@ class GlobalMappingParams:
         p.min_implicit_loop_overlap = g("min_implicit_loop_overlap", 0.2)
         p.optimization_interval_submaps = int(g("optimization_interval_submaps", 1))
         p.use_device_mesh = bool(g("use_device_mesh", True))
+        ep = g("enable_precompile", None)
+        if ep is not None:
+            p.enable_precompile = bool(ep)
         return p
 
 
@@ -130,7 +138,18 @@ class GlobalMapping(GlobalMappingBase):
         # (target, source) pair so external edits to matching_factors (tests,
         # recover tooling) can never desynchronize the cache.
         self.matching_factors: List[Tuple[int, int]] = []
-        self._f_cache: dict = {}           # (tgt, src) -> mu/ct/hit + T_rel
+        # Per-pair staleness anchor: the relative pose the correspondences
+        # were last searched at. The searched rows themselves live ONLY in
+        # the match stack (or briefly in _pending_rows) — an earlier design
+        # kept per-pair references into each search round's stacked output,
+        # which pinned tens of MB of device memory per surviving round over
+        # long sessions.
+        self._f_cache: dict = {}           # (tgt, src) -> {"T_rel"}
+        # Searched rows that could not be scattered into the live match
+        # stack (stack absent, or a padding-bucket crossing is pending);
+        # consumed — newest first — by the next _match_stacks call, then
+        # dropped. Bounded by one optimize cycle's search rounds.
+        self._pending_rows: List[tuple] = []
         # Between factors: (i, j, Z (4,4), info (6,6)).
         self.between_factors: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
         # IMU endpoint-chain factors (reference :168-219).
@@ -179,6 +198,20 @@ class GlobalMapping(GlobalMappingBase):
                 self._mesh = make_mesh(min(n2, 8), axis="factors")
                 logger.info("global_gn matching factors sharded over %d "
                             "devices", self._mesh.size)
+        # Background bucket precompilation (mapping/precompile.py): the
+        # worker is process-wide (the jit cache is too); per-instance we
+        # keep hit/miss/wait accounting for the stress tools and tests.
+        ep = self.params.enable_precompile
+        if ep is None:
+            import os
+            ep = os.environ.get("GLIM_TPU_PRECOMPILE", "1") not in ("0", "false")
+        self.precompiler = None
+        if ep:
+            from glim_tpu.mapping.precompile import get_precompiler
+            self.precompiler = get_precompiler()
+        self.precompile_stats = {"hits": 0, "misses": 0, "waits": 0,
+                                 "wait_s": 0.0}
+        self._rp_seen: set = {8}
 
     # -- insertion --
 
@@ -253,6 +286,7 @@ class GlobalMapping(GlobalMappingBase):
         if p.enable_optimization and not self.defer_optimization \
                 and (self._new_loop_since_opt or due):
             self.optimize()
+        self._precompile_tick()
 
     def _append_match_slice(self, submap: SubMap) -> None:
         """Budgeted source-cloud slice for matching factors. The reference
@@ -446,6 +480,7 @@ class GlobalMapping(GlobalMappingBase):
                               np.eye(4, dtype=np.float32))
         R = len(pairs)
         Rp = bucket(R)
+        self._rp_seen.add(Rp)
         tgt = jnp.asarray(np.array([t for t, _ in pairs]
                                    + [0] * (Rp - R), np.int32))
         src = jnp.asarray(np.array([s for _, s in pairs]
@@ -484,31 +519,37 @@ class GlobalMapping(GlobalMappingBase):
         device program per voxelmap level, then ONE batched scatter per
         match-stack leaf (the per-factor path dispatched L lookup programs
         per factor plus 3L .at[row].set writes — thousands of round-trips
-        per refresh round at 128 submaps).
+        per refresh round at 128 submaps / 621 factors).
 
-        The per-pair cache stores a LAZY row reference (the stacked output
-        plus a row index) instead of sliced mu/ct/hit arrays: eager slicing
-        issued 3*L device slice programs per pair (~3.7k dispatches per
-        refresh round at 128 submaps / 621 factors) for data only ever read
-        on the rare from-cache stack rebuild. The pinned stacks are shared
-        by every pair of one search round and are dropped as soon as all
-        its pairs have been re-searched."""
+        The per-pair cache records only the search-time relative pose (the
+        staleness anchor); the searched rows go straight into the live
+        match stack, or — when the stack is absent / a padding-bucket
+        crossing is pending — into the short-lived _pending_rows buffer
+        the next _match_stacks call drains. Nothing pins a search round's
+        stacked output beyond one optimize cycle."""
         if not pairs:
             return
         p = self.params
         L = max(p.submap_voxelmap_levels, 1)
         outs = self._lookup_rows(pairs, L)
-        for k, (pair, fi) in enumerate(zip(pairs, fis)):
+        for pair in pairs:
             T_rel = np.linalg.inv(self.poses[pair[0]]) @ self.poses[pair[1]]
-            self._f_cache[pair] = dict(T_rel=T_rel, stacks=outs, row=k)
+            self._f_cache[pair] = dict(T_rel=T_rel)
+        for fi in fis:
             self._match_dirty.add(fi)
 
         st = self._match_stack
         key = tuple(self.matching_factors)
+        # The len(key) guard keeps the fast path from extending st["key"]
+        # past the stack's capacity when earlier appends were deferred to
+        # the grow path (a bucket crossing is pending): the grow path sizes
+        # its copy from len(st["key"]) and would otherwise read past Fp.
         if (st is None or st["L"] != L
                 or st["key"] != key[:len(st["key"])]
+                or len(key) * L > st["Fp"]
                 or max(fis) * L + L > st["Fp"]):
-            return      # _match_stacks rebuild/grow path consumes the caches
+            self._pending_rows.append((list(fis), outs))
+            return      # _match_stacks grow/rebuild path consumes the rows
         self._scatter_rows(st, outs, fis)
         st["key"] = key
         for fi in fis:
@@ -519,13 +560,17 @@ class GlobalMapping(GlobalMappingBase):
         """Write freshly searched factor rows straight into the live match
         stack, one scatter per leaf. Rows are padded with an out-of-range
         index and written mode="drop" so the padded garbage rows (their
-        lookups ran against submap 0) never land anywhere."""
+        lookups ran against submap 0) never land anywhere; a negative fi
+        likewise drops that row (used when only a subset of a pending batch
+        is still wanted)."""
         L = st["L"]
         Rp = int(outs[0][0].shape[0])
         R = len(fis)
         rows_np = np.full((L, Rp), st["Fp"], np.int32)
+        fis_np = np.asarray(fis, np.int32)
         for lvl in range(L):
-            rows_np[lvl, :R] = np.asarray(fis, np.int32) * L + lvl
+            rows_np[lvl, :R] = np.where(fis_np >= 0, fis_np * L + lvl,
+                                        st["Fp"])
         rows = jnp.asarray(rows_np.reshape(-1))
         st["f_mu"] = st["f_mu"].at[rows].set(
             jnp.concatenate([o[0] for o in outs]), mode="drop")
@@ -546,6 +591,7 @@ class GlobalMapping(GlobalMappingBase):
         lk0 = self._lk_stacks(Sp)[0]
         R = len(pairs)
         Rp = bucket(R)
+        self._rp_seen.add(Rp)
         T_rel = np.stack([np.linalg.inv(self.poses[t]) @ self.poses[s]
                           for t, s in pairs]
                          + [np.eye(4)] * (Rp - R)).astype(np.float32)
@@ -663,24 +709,16 @@ class GlobalMapping(GlobalMappingBase):
         incrementally: appends and refreshes scatter exactly the dirty
         rows, a bucket crossing copies the old rows into fresh padding
         (one device set per leaf), and only a break of the append-only
-        key prefix (recover tooling, tests) forces a from-cache rebuild.
+        key prefix (recover tooling, tests) forces a rebuild. Rebuild rows
+        come from the _pending_rows buffer when already searched, else from
+        ONE batched re-search over all missing pairs (a per-row search loop
+        here would re-create the dispatch storm this cache exists to kill).
         Keyed by the factor-pair tuple so external edits to
         matching_factors are detected."""
         key = tuple(self.matching_factors)
         zero_mu = np.zeros((M, 3), np.float32)
         zero_ct = np.zeros((M, 3, 3), np.float32)
         zero_hit = np.zeros((M,), bool)
-
-        def levels_of(pair):
-            c = self._f_cache.get(pair)
-            if c is None:     # externally added pair: search on demand
-                c = dict(T_rel=np.linalg.inv(self.poses[pair[0]])
-                         @ self.poses[pair[1]],
-                         stacks=self._lookup_rows([pair], L), row=0)
-                self._f_cache[pair] = c
-            k = c["row"]
-            return [(mu[k], ct[k], hit[k]) for mu, ct, hit in
-                    c["stacks"][:L]]
 
         st = self._match_stack
         if st is not None and (st["L"] != L
@@ -708,15 +746,28 @@ class GlobalMapping(GlobalMappingBase):
                       f_ct=pad_stack([], Fp, zero_ct),
                       f_hit=pad_stack([], Fp, zero_hit))
             self._match_dirty = set(range(len(key)))
-        todo = sorted((set(self._match_dirty)
-                       | set(range(len(st["key"]), len(key))))
-                      & set(range(len(key))))
-        for p_idx in todo:
-            for lvl, (mu, ct, hit) in enumerate(levels_of(key[p_idx])):
-                row = p_idx * L + lvl
-                st["f_mu"] = st["f_mu"].at[row].set(mu)
-                st["f_ct"] = st["f_ct"].at[row].set(ct)
-                st["f_hit"] = st["f_hit"].at[row].set(hit)
+        todo = ((set(self._match_dirty)
+                 | set(range(len(st["key"]), len(key))))
+                & set(range(len(key))))
+        # Drain searched-but-unscattered rows, NEWEST first so a pair that
+        # was appended and then refreshed within one cycle lands its fresh
+        # correspondences (older duplicates are dropped via fi = -1).
+        for fis, outs in reversed(self._pending_rows):
+            use = [fi if (fi in todo and fi * L + L <= Fp) else -1
+                   for fi in fis]
+            if any(fi >= 0 for fi in use):
+                self._scatter_rows(st, outs, use)
+                todo -= {fi for fi in use if fi >= 0}
+        self._pending_rows = []
+        rest = sorted(todo)
+        if rest:
+            pairs = [key[i] for i in rest]
+            outs = self._lookup_rows(pairs, L)
+            for pair in pairs:
+                self._f_cache[pair] = dict(
+                    T_rel=np.linalg.inv(self.poses[pair[0]])
+                    @ self.poses[pair[1]])
+            self._scatter_rows(st, outs, rest)
         st["key"] = key
         self._match_dirty.clear()
         self._match_stack = st
@@ -860,6 +911,138 @@ class GlobalMapping(GlobalMappingBase):
             t_valid=(pad_stack([True] * TR, Tp, False) if Tp else None),
         ), dict(Sp=Sp, Fp=Fp, Bp=Bp, Jp=Jp, Ap=Ap, Tp=Tp)
 
+    # -- background bucket precompilation (mapping/precompile.py) --
+
+    def _gn_sig(self, dims: dict):
+        M = int(self._m_pts[0].shape[0])
+        return ("gn", tuple(sorted(dims.items())), M,
+                self.params.lm_iterations, self._mesh)
+
+    def _precompile_tick(self) -> None:
+        """Predict the padded program variants the next few inserts will
+        need and queue background compiles for any not yet warm (called at
+        the end of every insert). Bucket crossings then hit a ready
+        executable instead of stalling the live thread for the ~20 s
+        (first program) / 0.5-1.5 s (crossing) an inline XLA compile costs
+        on chip. Candidate set: the current signature, each near-crossing
+        dimension bumped individually, and all of them bumped together."""
+        pc = self.precompiler
+        if pc is None or not self._m_pts:
+            return
+        p = self.params
+        L = max(p.submap_voxelmap_levels, 1)
+        M = int(self._m_pts[0].shape[0])
+        S, F = len(self.submaps), len(self.matching_factors)
+        B, J = len(self.between_factors), len(self.junction_states)
+        A, TR = len(self.gravity_anchors), len(self.translation_priors)
+
+        cur = dict(Sp=bucket(S), Fp=bucket(max(F * L, 1)),
+                   Bp=bucket(max(B, 1)), Jp=(bucket(J) if J else 0),
+                   Ap=(bucket(A) if A else 0), Tp=(bucket(TR) if TR else 0))
+        bumps = {}
+        for k, count, grow in (("Sp", S, max(2, S // 4)),
+                               ("Fp", F * L, max(4, F // 2) * L),
+                               ("Bp", B, max(2, B // 4)),
+                               ("Jp", J, max(2, J // 4))):
+            if k == "Jp" and not p.enable_imu:
+                continue
+            if k == "Jp" and J == 0:
+                bumps[k] = 8     # the first IMU factor lands next insert
+                continue
+            nb = bucket(max(count + grow, 1))
+            if nb != cur[k]:
+                bumps[k] = nb
+        combos = [dict(cur)]
+        for k, v in bumps.items():
+            combos.append({**cur, k: v})
+        if len(bumps) > 1:
+            combos.append({**cur, **bumps})
+        for dims in combos:
+            self._submit_gn_precompile(dims, M)
+        # Insert-path programs (correspondence lookup + overlap sweep) for
+        # the predicted submap buckets x the pair-batch buckets seen so far
+        # plus the worst-case full-refresh batch (every factor stale after
+        # a loop closure).
+        sp_c = [cur["Sp"]] + ([bumps["Sp"]] if "Sp" in bumps else [])
+        rp_c = sorted(self._rp_seen
+                      | {bucket(max(F + max(4, F // 2), 1))})
+        for Sp in sp_c:
+            for Rp in rp_c:
+                self._submit_insert_precompiles(Sp, Rp, M, L)
+
+    def _submit_gn_precompile(self, dims: dict, M: int) -> None:
+        pc = self.precompiler
+        sig = ("gn", tuple(sorted(dims.items())), M,
+               self.params.lm_iterations, self._mesh)
+        if pc.ready(sig) or pc.pending_for(sig):
+            return
+        dims = dict(dims)
+        mw = self.params.matching_weight
+        iters, mesh = self.params.lm_iterations, self._mesh
+
+        def thunk():
+            from glim_tpu.mapping.precompile import dummy_gn_args
+            args = dummy_gn_args(dims, M, mw)
+            out = global_gn(**args, **dims, iters=iters, shard_mesh=mesh)
+            jax.block_until_ready(out)
+
+        pc.submit(sig, thunk)
+
+    def _submit_insert_precompiles(self, Sp: int, Rp: int, M: int,
+                                   L: int) -> None:
+        pc = self.precompiler
+        p = self.params
+        caps = sorted({max(p.voxel_capacity >> lvl, 4096)
+                       for lvl in range(L)}, reverse=True)
+        for V in caps:
+            sig = ("lookup", Sp, Rp, M, V)
+            if not (pc.ready(sig) or pc.pending_for(sig)):
+                def lk_thunk(Sp=Sp, Rp=Rp, V=V):
+                    out = gicp.vgicp_lookup_stacked(
+                        jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
+                                 (Sp, 1, 1)),
+                        jnp.zeros(Rp, jnp.int32), jnp.zeros(Rp, jnp.int32),
+                        jnp.zeros((Sp, M, 3), jnp.float32),
+                        jnp.zeros((Sp, M), bool),
+                        jnp.full((Sp, V, 2), vmx.INVALID_HASH, jnp.int32),
+                        jnp.zeros((Sp, V, 12), jnp.float32),
+                        jnp.ones(Sp, jnp.float32))
+                    jax.block_until_ready(out)
+                pc.submit(sig, lk_thunk)
+        V0 = caps[0]
+        sig = ("overlap", Sp, Rp, M, V0)
+        if not (pc.ready(sig) or pc.pending_for(sig)):
+            def ov_thunk(Sp=Sp, Rp=Rp, V0=V0):
+                out = vmx.voxelmap_overlap_stacked(
+                    jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
+                             (Rp, 1, 1)),
+                    jnp.zeros(Rp, jnp.int32), jnp.zeros(Rp, jnp.int32),
+                    jnp.zeros((Sp, M, 3), jnp.float32),
+                    jnp.zeros((Sp, M), bool),
+                    jnp.full((Sp, V0, 2), vmx.INVALID_HASH, jnp.int32),
+                    jnp.ones(Sp, jnp.float32))
+                jax.block_until_ready(out)
+            pc.submit(sig, ov_thunk)
+
+    def _account_gn_compile(self, dims: dict) -> None:
+        """Hit/miss/wait accounting against the background precompiler: a
+        ready signature is a hit; an in-flight one is WAITED for (strictly
+        shorter than compiling the same program inline a second time);
+        anything else is a miss the live call compiles inline."""
+        import time
+        pc = self.precompiler
+        sig = self._gn_sig(dims)
+        if pc.ready(sig):
+            self.precompile_stats["hits"] += 1
+            return
+        if pc.pending_for(sig):
+            t0 = time.perf_counter()
+            pc.wait_for(sig, timeout=300.0)
+            self.precompile_stats["waits"] += 1
+            self.precompile_stats["wait_s"] += time.perf_counter() - t0
+            return
+        self.precompile_stats["misses"] += 1
+
     def needs_optimize(self) -> bool:
         """Anything new since the last optimize?  The async wrapper's
         periodic idle optimization consults this: re-optimizing an unchanged
@@ -894,6 +1077,9 @@ class GlobalMapping(GlobalMappingBase):
         for round_ in range(max_rounds):
             with profile_scope("global/opt.args"):
                 args, dims = self._padded_args()
+            if round_ == 0 and self.precompiler is not None:
+                with profile_scope("global/opt.compile_wait"):
+                    self._account_gn_compile(dims)
             with profile_scope("global/opt.gn"):
                 T_fin, junc_fin, err, min_diag = global_gn(
                     **args, **dims, iters=p.lm_iterations, shard_mesh=mesh)

@@ -109,36 +109,75 @@ class PlaneSelection:
 def plane_evm_factor(selections: Sequence[PlaneSelection], poses: jnp.ndarray):
     """Eigenvalue-minimization plane factor over selected regions.
 
-    gtsam_points::PlaneEVMFactor role: residual = smallest eigenvalue of the
+    gtsam_points::PlaneEVMFactor role: error = smallest eigenvalue of the
     scatter of the world-frame selected points (zero when all selections lie
-    on one common plane). Returns (error, H (N*6, N*6), b) via jacfwd on the
-    stacked pose perturbations.
+    on one common plane). Linearized as the equivalent per-point
+    point-to-plane residual vector r_k = n·(p_k − mean)/√P with the normal
+    n FROZEN at the current iterate (the BALM quadratic expansion:
+    Σ r_k² = λ_min exactly when n is the smallest eigenvector) — a scalar
+    λ_min residual would give a rank-1 Hessian that Gauss-Newton descends
+    impractically slowly. Returns (error, H (N*6, N*6), b).
     """
     N = poses.shape[0]
     pts = [jnp.asarray(s.points, jnp.float32) for s in selections]
     idx = [s.submap_index for s in selections]
 
-    def lam_min(xi):
+    def world_all(xi):
         Ts = poses @ lie.se3_exp(xi.reshape(N, 6))
-        world = []
-        for p, i in zip(pts, idx):
-            world.append(p @ Ts[i][:3, :3].T + Ts[i][:3, 3])
-        allp = jnp.concatenate(world, axis=0)
-        mu = jnp.mean(allp, axis=0)
-        d = allp - mu
-        S = d.T @ d / allp.shape[0]
-        return eigvals_sym3x3(S)[0]
+        return jnp.concatenate(
+            [p @ Ts[i][:3, :3].T + Ts[i][:3, 3] for p, i in zip(pts, idx)],
+            axis=0)
 
     zero = jnp.zeros(N * 6)
-    r = lam_min(zero)
-    J = jax.jacfwd(lam_min)(zero)              # (N*6,)
-    H = jnp.outer(J, J)
-    b = J * r
-    return r, H, b
+    allp = world_all(zero)
+    d0 = allp - jnp.mean(allp, axis=0)
+    S = d0.T @ d0 / allp.shape[0]
+    n = jax.lax.stop_gradient(jnp.linalg.eigh(S)[1][:, 0])
+
+    def resid(xi):
+        ap = world_all(xi)
+        return (ap - jnp.mean(ap, axis=0)) @ n / jnp.sqrt(1.0 * ap.shape[0])
+
+    r = resid(zero)
+    J = jax.jacfwd(resid)(zero)                # (P, N*6)
+    H = J.T @ J
+    b = J.T @ r
+    return jnp.sum(r * r), H, b
+
+
+def point_evm_factor(selections: Sequence[PlaneSelection], poses: jnp.ndarray):
+    """Point eigenvalue-minimization factor: error = sum of ALL three
+    eigenvalues (= trace) of the world-frame scatter — zero when every
+    selection collapses onto one common point. The reference's
+    BundleAdjustmentModal offers both plane and point factors
+    (bundle_adjustment_modal.cpp:17-60). Linearized per point as the full
+    3-vector deviation from the mean (Σ|r_k|² = trace exactly), so the
+    Hessian is full-rank like the plane variant's."""
+    N = poses.shape[0]
+    pts = [jnp.asarray(s.points, jnp.float32) for s in selections]
+    idx = [s.submap_index for s in selections]
+
+    def world_all(xi):
+        Ts = poses @ lie.se3_exp(xi.reshape(N, 6))
+        return jnp.concatenate(
+            [p @ Ts[i][:3, :3].T + Ts[i][:3, 3] for p, i in zip(pts, idx)],
+            axis=0)
+
+    def resid(xi):
+        ap = world_all(xi)
+        return ((ap - jnp.mean(ap, axis=0))
+                / jnp.sqrt(1.0 * ap.shape[0])).reshape(-1)
+
+    zero = jnp.zeros(N * 6)
+    r = resid(zero)
+    J = jax.jacfwd(resid)(zero)
+    H = J.T @ J
+    b = J.T @ r
+    return jnp.sum(r * r), H, b
 
 
 class BundleAdjustment:
-    """Plane-constraint bundle adjustment over user-selected regions
+    """Plane/point-constraint bundle adjustment over user-selected regions
     (reference BundleAdjustmentModal role)."""
 
     def __init__(self, iterations: int = 10, weight: float = 1e4):
@@ -146,12 +185,13 @@ class BundleAdjustment:
         self.weight = weight
 
     def optimize(self, submaps: List[SubMap], poses: List[np.ndarray],
-                 plane_selections: Sequence[Sequence[PlaneSelection]]
-                 ) -> List[np.ndarray]:
-        """Refine submap poses so each selection group becomes coplanar.
-        Gauge: pose 0 fixed."""
+                 plane_selections: Sequence[Sequence[PlaneSelection]],
+                 mode: str = "plane") -> List[np.ndarray]:
+        """Refine submap poses so each selection group becomes coplanar
+        (mode="plane") or coincident (mode="point"). Gauge: pose 0 fixed."""
         N = len(poses)
         x = jnp.asarray(np.stack(poses), jnp.float32)
+        factor = plane_evm_factor if mode == "plane" else point_evm_factor
 
         def linearize(x):
             D = N * 6
@@ -159,10 +199,10 @@ class BundleAdjustment:
             b = jnp.zeros(D)
             err = 0.0
             for group in plane_selections:
-                r, Hg, bg = plane_evm_factor(group, x)
+                r, Hg, bg = factor(group, x)    # r = λ (already squared)
                 H = H + self.weight * Hg
                 b = b + self.weight * bg
-                err = err + self.weight * r * r
+                err = err + self.weight * r
             H = H.at[:6, :6].add(jnp.eye(6) * 1e8)   # gauge
             return H, b, err
 

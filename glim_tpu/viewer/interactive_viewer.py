@@ -116,6 +116,87 @@ class InteractiveViewer:
                         "(inliers %.2f)", target, source, res.inlier_fraction)
         return res
 
+    def bundle_adjust(self, center, radius: float, mode: str = "plane",
+                      submaps: Optional[List[int]] = None,
+                      information_scale: float = 1e3,
+                      max_points: int = 512) -> dict:
+        """Region-pick bundle adjustment (reference BundleAdjustmentModal,
+        bundle_adjustment_modal.cpp:17-60; collected into the graph at
+        interactive_viewer.cpp:405-418): gather every submap's points
+        inside the picked sphere, refine the involved poses with the
+        plane/point eigenvalue-minimization factor
+        (viewer/interactive_tools.py), and inject the refined relative
+        poses as strong between factors — live via request_to_add_between
+        on the running graph, offline applied + re-optimized. Returns the
+        region's plane thickness (sqrt of the scatter's smallest
+        eigenvalue) before/after as the flatness evidence."""
+        from glim_tpu.viewer.interactive_tools import (BundleAdjustment,
+                                                       PlaneSelection)
+        gm = self.gm
+        center = np.asarray(center, np.float64).reshape(3)
+        sel: List[PlaneSelection] = []
+        involved: List[int] = []
+        for i, sm in enumerate(gm.submaps):
+            if submaps is not None and i not in submaps:
+                continue
+            if sm.frame is None:
+                continue
+            T = np.asarray(gm.poses[i], np.float64)
+            pts = np.asarray(sm.frame.points)[np.asarray(sm.frame.mask)]
+            world = pts @ T[:3, :3].T + T[:3, 3]
+            keep = np.linalg.norm(world - center, axis=1) < radius
+            if keep.sum() >= 30:
+                p = pts[keep]
+                if len(p) > max_points:
+                    p = p[:: len(p) // max_points + 1][:max_points]
+                sel.append(PlaneSelection(submap_index=len(involved),
+                                          points=p.astype(np.float32)))
+                involved.append(i)
+        if len(involved) < 2:
+            return dict(ok=False,
+                        error=f"region intersects {len(involved)} submap(s); "
+                              "bundle adjustment needs at least 2")
+
+        poses = [np.asarray(gm.poses[i], np.float64) for i in involved]
+
+        def thickness(Ts):
+            world = np.concatenate(
+                [s.points @ np.asarray(T)[:3, :3].T + np.asarray(T)[:3, 3]
+                 for s, T in zip(sel, Ts)])
+            d = world - world.mean(axis=0)
+            S = d.T @ d / len(world)
+            ev = np.linalg.eigvalsh(S)
+            return float(np.sqrt(max(ev[0], 0.0))) if mode == "plane" \
+                else float(np.sqrt(max(ev.sum(), 0.0)))
+
+        before = thickness(poses)
+        ba = BundleAdjustment()
+        refined = ba.optimize([gm.submaps[i] for i in involved], poses,
+                              [sel], mode=mode)
+        after = thickness(refined)
+        if not all(np.all(np.isfinite(T)) for T in refined) \
+                or after > before:
+            return dict(ok=False, error="refinement did not improve "
+                        f"flatness ({before:.4f} -> {after:.4f} m)")
+        info = np.eye(6) * information_scale
+        for a in range(len(involved) - 1):
+            Z = np.linalg.inv(refined[a]) @ refined[a + 1]
+            if self.live:
+                CB.request_to_add_between(involved[a], involved[a + 1], Z,
+                                          info)
+            else:
+                gm.add_between_factor(involved[a], involved[a + 1], Z, info)
+        if not self.live:
+            gm.optimize()
+        logger.info("bundle_adjust (%s) over submaps %s: thickness "
+                    "%.4f -> %.4f m (%d between factors %s)", mode, involved,
+                    before, after, len(involved) - 1,
+                    "requested on the live graph" if self.live
+                    else "applied + re-optimized")
+        return dict(ok=True, submaps=involved, mode=mode,
+                    thickness_before_m=before, thickness_after_m=after,
+                    factors_added=len(involved) - 1)
+
     def optimize(self) -> None:
         if self.live:
             CB.request_to_optimize()
@@ -146,6 +227,9 @@ def execute_command(viewer: InteractiveViewer, cmd: dict) -> dict:
     Commands: {"cmd": "loop_close", "target": A, "source": B,
                "method"?: "GNC"|"RANSAC", "information_scale"?: s,
                "global_registration"?: bool}
+              {"cmd": "bundle_adjust", "center": [x, y, z], "radius": r,
+               "mode"?: "plane"|"point", "submaps"?: [ids],
+               "information_scale"?: s}
               {"cmd": "optimize"} | {"cmd": "find_loops", "min_overlap"?: f}
               {"cmd": "list"} | {"cmd": "factors"}
               {"cmd": "save", "path": P} | {"cmd": "ply", "path": P}
@@ -164,6 +248,12 @@ def execute_command(viewer: InteractiveViewer, cmd: dict) -> dict:
             return dict(ok=True, inlier_fraction=res.inlier_fraction,
                         T_target_source=np.asarray(
                             res.T_target_source).tolist())
+        if name == "bundle_adjust":
+            return viewer.bundle_adjust(
+                cmd["center"], float(cmd["radius"]),
+                mode=cmd.get("mode", "plane"),
+                submaps=cmd.get("submaps"),
+                information_scale=float(cmd.get("information_scale", 1e3)))
         if name == "optimize":
             viewer.optimize()
             return dict(ok=True)

@@ -24,6 +24,10 @@ import threading
 threading.stack_size(64 * 1024 * 1024)  # worker threads that trigger compiles
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: kernel env presets "axon"
+# Background bucket precompilation stays off by default in the suite: the
+# predicted next-bucket variants would burn CPU compiling programs no test
+# ever calls. tests/test_precompile.py opts in per-instance.
+os.environ.setdefault("GLIM_TPU_PRECOMPILE", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

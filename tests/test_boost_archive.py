@@ -271,3 +271,162 @@ class TestDumpIntegration:
         # manifest matching factors still available for recover_graph
         assert got is not None and got["matching"] == [(0, 1), (1, 2)]
         assert got["i"] == []
+
+
+class _QuatModeWriter(ba.BoostBinaryWriter):
+    """Emits Rot3 in GTSAM_USE_QUATERNIONS=ON layout (test double for a
+    quaternion-mode gtsam build): the Quaternion sub-object's class-info
+    preamble once, then 4 doubles (w, x, y, z)."""
+
+    def __init__(self, with_preamble=True):
+        super().__init__()
+        self._with_preamble = with_preamble
+        self._quat_seen = False
+
+    def _field(self, ftype, v):
+        if ftype == "rot3":
+            m = np.asarray(v, np.float64).reshape(3, 3)
+            # matrix -> (w, x, y, z)
+            w = np.sqrt(max(1.0 + np.trace(m), 0.0)) / 2.0
+            x = (m[2, 1] - m[1, 2]) / (4 * w)
+            y = (m[0, 2] - m[2, 0]) / (4 * w)
+            z = (m[1, 0] - m[0, 1]) / (4 * w)
+            if self._with_preamble and not self._quat_seen:
+                self._quat_seen = True
+                self.ctx.register_class("Quaternion")
+                self.w.u8(0)
+                self.w.u32(0)
+            self.w.f64s(np.array([w, x, y, z]))
+            return
+        super()._field(ftype, v)
+
+
+class TestQuaternionModeRead:
+    """GTSAM_USE_QUATERNIONS=ON archives load (read-side support matrix:
+    {matrix, quaternion}; VERDICT r4 item 7)."""
+
+    @pytest.mark.parametrize("with_preamble", [True, False])
+    def test_values_quaternion_mode(self, with_preamble):
+        poses = {ba.symbol("x", i): _pose(1.0 * i, 0.5, 0.3 * i)
+                 for i in range(4)}
+        wr = _QuatModeWriter(with_preamble)
+        wr.save_value("Values", {"values": {
+            k: ba.make_generic_pose3(T) for k, T in sorted(poses.items())}})
+        vals = ba.read_values(wr.bytes_())
+        assert set(vals) == set(poses)
+        for k, T in poses.items():
+            np.testing.assert_allclose(ba.pose3_to_matrix(vals[k]["value"]),
+                                       T, atol=1e-12)
+
+    def test_graph_quaternion_mode(self, ):
+        noise = ba.make_isotropic_precision(6, 100.0)
+        factors = [ba.make_between_pose3(ba.symbol("x", 0), ba.symbol("x", 1),
+                                         _pose(1.0, 0.2, 0.1), noise),
+                   ba.make_prior_pose3(ba.symbol("x", 0), _pose(), noise)]
+        wr = _QuatModeWriter()
+        wr.save_value("NonlinearFactorGraph", {"base": {"factors": factors}})
+        out = ba.read_graph(wr.bytes_())
+        assert len(out) == 2
+        np.testing.assert_allclose(
+            ba.pose3_to_matrix(out[0]["measured"]), _pose(1.0, 0.2, 0.1),
+            atol=1e-12)
+
+    def test_matrix_mode_still_discriminated(self):
+        data = ba.write_values({ba.symbol("x", 0):
+                                ba.make_generic_pose3(_pose(2.0))})
+        rd = ba.BoostBinaryReader(data)
+        rd.load_value("Values")
+        assert rd._rot3_mode == "matrix"
+
+
+class TestAdversarialStreams:
+    """Property/fuzz coverage beyond self-consistency (VERDICT r4 item 7):
+    randomized graphs with SHARED noise models (object-id back-references),
+    truncated and bit-flipped streams must raise cleanly, and large dynamic
+    matrices round-trip."""
+
+    def _random_graph(self, rng, n_factors=12):
+        # Three shared noise model OBJECTS across many factors — gtsam
+        # shares noise models, so the object_reference path is live.
+        noises = [ba.make_isotropic_precision(6, 10.0 ** rng.integers(0, 4))
+                  for _ in range(3)]
+        factors = []
+        for i in range(n_factors):
+            nz = noises[int(rng.integers(0, 3))]
+            if rng.random() < 0.5:
+                factors.append(ba.make_between_pose3(
+                    ba.symbol("x", i), ba.symbol("x", i + 1),
+                    _pose(float(rng.normal()), float(rng.normal()),
+                          float(rng.normal(0, 0.5))), nz))
+            else:
+                factors.append(ba.make_prior_pose3(
+                    ba.symbol("x", i), _pose(float(rng.normal())), nz))
+        return factors, noises
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_shared_noise_objects_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        factors, noises = self._random_graph(rng)
+        data = ba.write_graph(factors)
+        out = ba.read_graph(data)
+        assert len(out) == len(factors)
+        # Shared writer objects must come back as shared reader objects
+        # (object-id back-references, not re-serialized copies).
+        ids = {}
+        for f_in, f_out in zip(factors, out):
+            nid_in = id(f_in["base"]["noiseModel"])
+            nid_out = id(f_out["base"]["noiseModel"])
+            if nid_in in ids:
+                assert ids[nid_in] == nid_out, "shared noise not deduped"
+            ids[nid_in] = nid_out
+        assert len(set(ids.values())) == len(noises)
+        for f_in, f_out in zip(factors, out):
+            info_in, _ = ba.noise_information(f_in["base"]["noiseModel"])
+            info_out, _ = ba.noise_information(f_out["base"]["noiseModel"])
+            np.testing.assert_allclose(info_in, info_out, rtol=1e-12)
+
+    def test_truncated_streams_raise(self):
+        rng = np.random.default_rng(3)
+        factors, _ = self._random_graph(rng, n_factors=6)
+        data = ba.write_graph(factors)
+        for frac in (0.1, 0.5, 0.9, 0.99):
+            cut = data[:int(len(data) * frac)]
+            with pytest.raises((ValueError, struct.error, KeyError,
+                                IndexError)):
+                ba.read_graph(cut)
+
+    def test_bitflipped_streams_fail_cleanly(self):
+        """Every single-byte corruption either raises a clean error or
+        yields a parse (flips inside float payloads are undetectable by
+        ANY codec) — never hangs, never crashes the interpreter."""
+        rng = np.random.default_rng(4)
+        factors, _ = self._random_graph(rng, n_factors=4)
+        data = bytearray(ba.write_graph(factors))
+        for _ in range(200):
+            i = int(rng.integers(0, len(data)))
+            bit = 1 << int(rng.integers(0, 8))
+            data[i] ^= bit
+            try:
+                ba.read_graph(bytes(data))
+            except (ValueError, struct.error, KeyError, IndexError,
+                    OverflowError, MemoryError, UnicodeDecodeError):
+                pass
+            data[i] ^= bit          # restore
+
+    def test_large_dynamic_matrix_roundtrip(self):
+        """Gaussian sqrt_information is a DYNAMIC Eigen matrix; pin the
+        [rows][cols][column-major raw] layout at a non-trivial size."""
+        rng = np.random.default_rng(5)
+        A = rng.normal(size=(24, 24))
+        info = A @ A.T + np.eye(24) * 1e-3
+        noise = ba.make_gaussian_information(info)
+        # PoseTranslationPrior carries a 6-dof noise normally; use a raw
+        # Gaussian here purely to exercise the matrix path at 24x24.
+        wr = ba.BoostBinaryWriter()
+        wr.save_value("noiseModel::Gaussian", noise)
+        rd = ba.BoostBinaryReader(wr.bytes_())
+        out = rd.load_value("noiseModel::Gaussian")
+        np.testing.assert_allclose(out["sqrt_information"],
+                                   noise["sqrt_information"], rtol=1e-15)
+        got = out["sqrt_information"].T @ out["sqrt_information"]
+        np.testing.assert_allclose(got, info, rtol=1e-9)

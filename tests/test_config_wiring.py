@@ -134,7 +134,9 @@ class TestGlobalMappingLevels:
         for i in range(3):
             gm.insert_submap(make_submap(i, np.array([2.0 * i, 0.0, 0.0])))
         assert all(len(vm) == 3 for vm in gm.voxelmaps)
-        assert all(len(c["stacks"]) == 3 for c in gm._f_cache.values())
+        # 3 voxelmap levels -> 3 correspondence rows per factor pair.
+        gm._padded_args()
+        assert gm._match_stack["L"] == 3
         assert all(np.all(np.isfinite(T)) for T in gm.poses)
 
     def test_randomsampling_rate_shrinks_slice(self, rng):

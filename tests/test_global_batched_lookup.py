@@ -143,9 +143,19 @@ def test_global_mapping_batched_refresh_consistency(defer):
         gm.insert_submap(sm)
     gm.defer_optimization = False
     gm.optimize()
-    # Consistency of the scatter fast path vs a clean rebuild.
+    # Consistency of the scatter fast path vs a clean rebuild. A rebuild
+    # re-searches at the CURRENT poses (rows are no longer pinned per
+    # pair), so first force a full refresh at the current poses — after
+    # that, fast-path rows and rebuild rows come from identical searches
+    # and must match byte-for-byte.
+    shove = se3_exp_np(np.array([0, 0, 0, 1.0, 0, 0]))  # 1 m >> threshold
+    for pair in list(gm._f_cache):
+        gm._f_cache[pair]["T_rel"] = gm._f_cache[pair]["T_rel"] @ shove
+    assert gm._refresh_stale_factors() == len(gm.matching_factors)
     st = gm._match_stack
     assert st is not None
+    gm._padded_args()                      # drain any pending rows
+    st = gm._match_stack
     fast = (np.asarray(st["f_mu"]).copy(), np.asarray(st["f_ct"]).copy(),
             np.asarray(st["f_hit"]).copy())
     gm._match_stack = None

@@ -85,3 +85,17 @@ class TestShardedFactorFanout:
                                        np.asarray(refs[f].H_ss), rtol=1e-4, atol=1e-2)
             np.testing.assert_allclose(np.asarray(out.b_s[f]),
                                        np.asarray(refs[f].b_s), rtol=1e-4, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_backend_parity_at_production_scale():
+    """The factor axis sharded over 8 devices must produce the SAME poses
+    as single-device at production scale (64 submaps / 300+ factors on a
+    drifting ring built through the real GlobalMapping insert path) —
+    shard-boundary bugs (padding rows crossing shard edges, psum of masked
+    blocks) cannot hide at this scale (VERDICT r4 item 4)."""
+    from glim_tpu.tools.multichip_check import backend_parity_check
+    fmesh = make_mesh(8, axis="factors")
+    stats = backend_parity_check(fmesh, n_submaps=64)
+    assert stats["factors"] >= 300
+    assert stats["max_pose_delta"] < 5e-4
