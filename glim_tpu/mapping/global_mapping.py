@@ -170,6 +170,11 @@ class GlobalMapping(GlobalMappingBase):
         # wrapper / end-of-sequence drain set this around submap BURSTS so
         # a backlog of N submaps costs ONE solve instead of N).
         self.defer_optimization = False
+        # Runtime toggle for implicit-loop candidate search (the reference
+        # UI can enable/disable modules live, standard_viewer_ui.cpp);
+        # flipped by the command channel's {"cmd": "set_enabled",
+        # "target": "loop_detection"}.
+        self.loop_search_enabled = True
         # Factor-axis device mesh: when more than one chip is attached, the
         # matching-factor linearization in global_gn shard_maps over it by
         # default — no caller plumbing required (the reference's GPU fan-out
@@ -622,6 +627,11 @@ class GlobalMapping(GlobalMappingBase):
             d = np.linalg.norm(centers - pi, axis=1)
             cands = [int(j) for j in
                      np.where(d <= p.max_implicit_loop_distance)[0]]
+            if not self.loop_search_enabled:
+                # Runtime toggle (reference standard_viewer_ui module
+                # enable/disable): keep only the odometry-neighbor factor
+                # so the graph stays chained while loop search is off.
+                cands = [j for j in cands if j == i - 1]
         else:
             cands = []
         if cands:

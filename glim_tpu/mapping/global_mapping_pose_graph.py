@@ -260,6 +260,10 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         self._last_opt_n = 0         # poses at the last optimize
         # Burst deferral (see GlobalMapping.defer_optimization).
         self.defer_optimization = False
+        # Runtime toggle for loop-candidate generation (reference
+        # standard_viewer_ui module enable/disable; command channel
+        # {"cmd": "set_enabled", "target": "loop_detection"}).
+        self.loop_search_enabled = True
         self._last_opt_factors = 0   # factors at the last optimize
         self.detector = LoopDetector(self) if self.params.enable_detection_thread \
             else None
@@ -329,7 +333,8 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
                                  covs, jnp.int32(0))
         self.voxelmaps.append(vm)
 
-        self._find_loop_candidates(i)
+        if self.loop_search_enabled:
+            self._find_loop_candidates(i)
         if self.detector is not None:
             self.detector.push(self.candidates)
             self.candidates = []

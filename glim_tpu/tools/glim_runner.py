@@ -51,11 +51,16 @@ def load_dataset(path: str):
     return imu, scans
 
 
-def _make_command_poller(glim, commands_path):
+def _make_command_poller(glim, commands_path, controls=None):
     """Tail a JSONL command file and apply new lines to the LIVE run (the
     interactive-correction loop: watch.py POST /command appends here).
     Alignment runs on this feed thread; the factor injection itself goes
-    through request_to_add_between, applied on the global-mapping worker."""
+    through request_to_add_between, applied on the global-mapping worker.
+
+    Playback-control commands (pause / resume / step — the reference UI's
+    runtime controls, standard_viewer_ui.cpp) are intercepted here and
+    recorded in `controls` for the feed loop; everything else goes to the
+    shared execute_command dispatcher."""
     if not commands_path:
         return lambda: None
     import json
@@ -84,10 +89,33 @@ def _make_command_poller(glim, commands_path):
             except ValueError:
                 print(f"[commands] bad JSON line ignored: {line[:80]}")
                 continue
+            name = cmd.get("cmd")
+            if controls is not None and name in ("pause", "resume", "step"):
+                if name == "pause":
+                    controls["paused"] = True
+                elif name == "resume":
+                    controls["paused"] = False
+                    controls["step"] = 0
+                else:
+                    controls["paused"] = True
+                    controls["step"] += max(int(cmd.get("n", 1)), 1)
+                print(f"[commands] {name}: {controls}")
+                continue
             out = execute_command(viewer, cmd)
-            print(f"[commands] {cmd.get('cmd')}: {out}")
+            print(f"[commands] {name}: {out}")
 
     return poll
+
+
+def _playback_gate(controls, poll_commands):
+    """Block the feed loop while paused (still polling commands so resume /
+    step / corrections are serviced); consume one step credit if stepping."""
+    import time as _time
+    while controls["paused"] and controls["step"] == 0:
+        _time.sleep(0.05)
+        poll_commands()
+    if controls["step"] > 0:
+        controls["step"] -= 1
 
 
 def _is_bag(path: str) -> bool:
@@ -156,7 +184,8 @@ def main(argv=None):
         print(f"viewer stream -> {args.viewer_stream} "
               f"(open glim_tpu/viewer/watch.html, or "
               f"python -m glim_tpu.tools.watch --stream {args.viewer_stream})")
-    poll_commands = _make_command_poller(glim, args.commands)
+    controls = {"paused": False, "step": 0}
+    poll_commands = _make_command_poller(glim, args.commands, controls)
     t0 = time.perf_counter()
     n = 0
     if stream_bag:
@@ -190,6 +219,7 @@ def main(argv=None):
             glim.insert_frame(msg)
             n += 1
             poll_commands()
+            _playback_gate(controls, poll_commands)
             while glim.workload() > args.max_workload:
                 time.sleep(0.01)
             if not glim.ok():
@@ -204,6 +234,7 @@ def main(argv=None):
                 imu_idx += 1
             glim.insert_frame(RawPoints(stamp=stamp, points=pts, times=times))
             poll_commands()
+            _playback_gate(controls, poll_commands)
             # Adaptive throttling (the glim_rosbag playback-rate control).
             while glim.workload() > args.max_workload:
                 time.sleep(0.01)

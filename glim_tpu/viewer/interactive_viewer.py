@@ -233,6 +233,15 @@ def execute_command(viewer: InteractiveViewer, cmd: dict) -> dict:
               {"cmd": "optimize"} | {"cmd": "find_loops", "min_overlap"?: f}
               {"cmd": "list"} | {"cmd": "factors"}
               {"cmd": "save", "path": P} | {"cmd": "ply", "path": P}
+              {"cmd": "set_enabled", "target": "global_optimization"|
+               "loop_detection", "value": bool} | {"cmd": "status"}
+
+    Runtime module toggles (reference standard_viewer_ui.cpp enable/disable
+    checkboxes): "global_optimization" gates the backend's per-insert
+    optimize, "loop_detection" gates implicit-loop / candidate search in
+    either backend. Playback control (pause/resume/step) is handled by the
+    RUNNER's poller (tools/glim_runner.py), not here — it acts on the feed
+    loop, which no graph object owns.
     """
     name = cmd.get("cmd")
     try:
@@ -270,6 +279,26 @@ def execute_command(viewer: InteractiveViewer, cmd: dict) -> dict:
         if name == "ply":
             viewer.export_ply(cmd["path"])
             return dict(ok=True)
+        if name == "set_enabled":
+            target = cmd.get("target")
+            value = bool(cmd.get("value", True))
+            gm = viewer.gm
+            if target == "global_optimization":
+                prev = gm.params.enable_optimization
+                gm.params.enable_optimization = value
+            elif target == "loop_detection":
+                prev = getattr(gm, "loop_search_enabled", True)
+                gm.loop_search_enabled = value
+            else:
+                return dict(ok=False, error=f"unknown target {target!r}")
+            logger.info("set_enabled %s -> %s (was %s)", target, value, prev)
+            return dict(ok=True, target=target, value=value, previous=prev)
+        if name == "status":
+            gm = viewer.gm
+            return dict(
+                ok=True, live=viewer.live, submaps=len(gm.submaps),
+                global_optimization=gm.params.enable_optimization,
+                loop_detection=getattr(gm, "loop_search_enabled", True))
         return dict(ok=False, error=f"unknown command {name!r}")
     except Exception as e:           # interactive input: report, never crash
         logger.warning("command %s failed: %s", name, e)

@@ -233,3 +233,108 @@ class TestBundleAdjustCommand:
             "cmd": "bundle_adjust", "center": [100.0, 0.0, 0.0],
             "radius": 1.0})
         assert not out["ok"]
+
+
+class TestRuntimeControls:
+    """Live runtime controls (reference standard_viewer_ui.cpp enable/
+    disable checkboxes + playback control): module toggles through the
+    command channel, pause/resume/step through the runner's poller."""
+
+    def test_set_enabled_toggles(self):
+        gm, _ = build_drifted_ring()
+        viewer = InteractiveViewer(gm, live=False)
+        st = execute_command(viewer, {"cmd": "status"})
+        # build_drifted_ring constructs with enable_optimization=False.
+        assert st["ok"] and not st["global_optimization"] \
+            and st["loop_detection"]
+
+        out = execute_command(viewer, {"cmd": "set_enabled",
+                                       "target": "global_optimization",
+                                       "value": True})
+        assert out["ok"] and out["previous"] is False
+        assert gm.params.enable_optimization is True
+        out = execute_command(viewer, {"cmd": "set_enabled",
+                                       "target": "global_optimization",
+                                       "value": False})
+        assert out["ok"] and out["previous"] is True
+        assert gm.params.enable_optimization is False
+        out = execute_command(viewer, {"cmd": "set_enabled",
+                                       "target": "loop_detection",
+                                       "value": False})
+        assert out["ok"]
+        assert gm.loop_search_enabled is False
+        st = execute_command(viewer, {"cmd": "status"})
+        assert not st["global_optimization"] and not st["loop_detection"]
+        assert not execute_command(viewer, {"cmd": "set_enabled",
+                                            "target": "nope"})["ok"]
+
+    def test_loop_search_disabled_only_chains_odometry(self):
+        """With loop search off, a submap landing on top of an old one gets
+        ONLY its odometry-neighbor factor (no implicit loop)."""
+        rng = np.random.default_rng(9)
+        radius = N * STEP / (2 * np.pi)
+        world = ring_world(rng, radius, max(N, 8))
+        gm = GlobalMapping(GlobalMappingParams(
+            enable_optimization=False, submap_voxel_resolution=0.5,
+            voxel_capacity=16384, max_implicit_loop_distance=1e9,
+            min_implicit_loop_overlap=0.01, use_device_mesh=False))
+        gm.loop_search_enabled = False
+        for k in [0, 1, 0]:        # third submap revisits the first's spot
+            sm = make_submap(rng, len(gm.submaps), world, _true_pose(k, radius))
+            gm.insert_submap(sm)
+        # Only consecutive pairs; the (0, 2) revisit is NOT linked.
+        assert all(abs(t - s) == 1 for t, s in gm.matching_factors), \
+            gm.matching_factors
+        gm.loop_search_enabled = True
+        sm = make_submap(rng, 3, world, _true_pose(0, radius))
+        gm.insert_submap(sm)
+        assert any(abs(t - s) > 1 for t, s in gm.matching_factors), \
+            gm.matching_factors
+
+    def test_playback_pause_step_resume(self, tmp_path):
+        """The runner poller's playback-control protocol: pause blocks the
+        feed gate, step grants one scan, resume unblocks."""
+        import threading
+        import time as _time
+
+        from glim_tpu.tools.glim_runner import (_make_command_poller,
+                                                _playback_gate)
+
+        gm, _ = build_drifted_ring()
+
+        class _Glim:      # poller only touches .global_mapping
+            global_mapping = gm
+
+        path = tmp_path / "commands.jsonl"
+        controls = {"paused": False, "step": 0}
+        poll = _make_command_poller(_Glim(), str(path), controls)
+
+        with open(path, "a") as f:
+            f.write('{"cmd": "pause"}\n')
+        poll()
+        assert controls["paused"]
+
+        # A gated feed thread stays blocked until step/resume arrives.
+        passed = []
+
+        def feed():
+            _playback_gate(controls, poll)
+            passed.append(_time.monotonic())
+
+        th = threading.Thread(target=feed)
+        th.start()
+        _time.sleep(0.25)
+        assert not passed, "gate let a scan through while paused"
+        with open(path, "a") as f:
+            f.write('{"cmd": "step", "n": 1}\n')
+        th.join(timeout=10.0)
+        assert passed and controls["paused"] and controls["step"] == 0
+
+        # resume: the gate no longer blocks at all.
+        with open(path, "a") as f:
+            f.write('{"cmd": "resume"}\n')
+        poll()
+        assert not controls["paused"]
+        t0 = _time.monotonic()
+        _playback_gate(controls, poll)
+        assert _time.monotonic() - t0 < 0.2
