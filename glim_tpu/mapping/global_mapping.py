@@ -969,16 +969,52 @@ class GlobalMapping(GlobalMappingBase):
             combos.append({**cur, **bumps})
         for dims in combos:
             self._submit_gn_precompile(dims, M)
-        # Insert-path programs (correspondence lookup + overlap sweep) for
-        # the predicted submap buckets x the pair-batch buckets seen so far
-        # plus the worst-case full-refresh batch (every factor stale after
-        # a loop closure).
+        # Insert-path programs (correspondence lookup + overlap sweep +
+        # match-stack scatter) for the predicted submap buckets x the FULL
+        # pair-batch bucket ladder up to the worst-case full-refresh batch
+        # (every factor stale after a loop closure). The ladder matters:
+        # candidate/refresh batches take every intermediate power-of-two on
+        # the way up (a 16-candidate overlap sweep appears well before any
+        # 64-row refresh), and each unpredicted bucket is an inline compile
+        # in the live insert — the dominant term of the 2 s first-checkpoint
+        # insert mean measured on chip.
         sp_c = [cur["Sp"]] + ([bumps["Sp"]] if "Sp" in bumps else [])
-        rp_c = sorted(self._rp_seen
-                      | {bucket(max(F + max(4, F // 2), 1))})
+        rp_max = bucket(max(F + max(4, F // 2), 1, max(self._rp_seen)))
+        rp_c, r = [], 8
+        while r <= rp_max:
+            rp_c.append(r)
+            r *= 2
         for Sp in sp_c:
             for Rp in rp_c:
                 self._submit_insert_precompiles(Sp, Rp, M, L)
+        # Match-stack scatter programs (one per (Fp, Rp) combo): appends and
+        # refreshes write searched rows with .at[rows].set(mode="drop"),
+        # compiled per stack-capacity x batch-bucket pair — these ran inline
+        # during opt.args (2.5 s mean in the first on-chip checkpoint).
+        fp_c = [cur["Fp"]] + ([bumps["Fp"]] if "Fp" in bumps else [])
+        for Fp in fp_c:
+            for Rp in rp_c:
+                self._submit_scatter_precompile(Fp, Rp, M, L)
+
+    def _submit_scatter_precompile(self, Fp: int, Rp: int, M: int,
+                                   L: int) -> None:
+        pc = self.precompiler
+        sig = ("scatter", Fp, Rp, M, L)
+        if pc.ready(sig) or pc.pending_for(sig):
+            return
+
+        def thunk(Fp=Fp, Rp=Rp):
+            st = dict(L=L, Fp=Fp,
+                      f_mu=jnp.zeros((Fp, M, 3), jnp.float32),
+                      f_ct=jnp.zeros((Fp, M, 3, 3), jnp.float32),
+                      f_hit=jnp.zeros((Fp, M), bool))
+            outs = [(jnp.zeros((Rp, M, 3), jnp.float32),
+                     jnp.zeros((Rp, M, 3, 3), jnp.float32),
+                     jnp.zeros((Rp, M), bool)) for _ in range(L)]
+            self._scatter_rows(st, outs, [0])
+            jax.block_until_ready(st["f_mu"])
+
+        pc.submit(sig, thunk)
 
     def _submit_gn_precompile(self, dims: dict, M: int) -> None:
         pc = self.precompiler

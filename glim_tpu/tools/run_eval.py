@@ -61,7 +61,7 @@ def _make_odometry(kind, odom_params):
     if kind == "ct":
         from glim_tpu.odometry.odometry_estimation_ct import (
             OdometryEstimationCT, OdometryEstimationCTParams)
-        return OdometryEstimationCT(OdometryEstimationCTParams())
+        return OdometryEstimationCT(odom_params or OdometryEstimationCTParams())
     raise ValueError(kind)
 
 

@@ -184,3 +184,67 @@ class TestLivePipelineNoStall:
         assert stats["hits"] >= 1
         # Sanity: the map stayed consistent through the crossing.
         assert all(np.all(np.isfinite(T)) for T in gm.poses)
+
+
+class TestInsertPathWarmup:
+    def test_insert_path_hits_warm_cache(self):
+        """After the tick's insert-path predictions are compiled, further
+        inserts (overlap sweep, correspondence lookup, match-stack scatter)
+        must add ZERO new jit-cache entries — the on-chip stress run showed
+        2.5 s opt.args / 1.7 s matching-factor means in the first window
+        from exactly these programs compiling inline."""
+        from glim_tpu.ops import gicp
+        from glim_tpu.ops import voxelmap as vmx
+
+        class _InlinePC:    # runs submissions synchronously, records sigs
+            def __init__(self):
+                self.sigs = []
+
+            def ready(self, s):
+                return s in self.sigs
+
+            def pending_for(self, s):
+                return False
+
+            def submit(self, sig, thunk):
+                self.sigs.append(sig)
+                thunk()
+
+        rng = np.random.default_rng(7)
+        gm = _gm(submap_voxelmap_levels=2,
+                 max_implicit_loop_distance=10.0,
+                 min_implicit_loop_overlap=0.05,
+                 optimization_interval_submaps=1)
+        gm.precompiler = _InlinePC()
+        gm.insert_submap(_make_submap(rng, 0, np.array([0.0, 0, 0])))
+        kinds = {s[0] for s in gm.precompiler.sigs}
+        assert {"gn", "lookup", "overlap", "scatter"} <= kinds, kinds
+
+        # Wrap the LIVE call paths: each must find its program already in
+        # the jit cache (the tick's predictions — which legitimately add
+        # NEW entries as buckets grow — run inside pc.submit, outside
+        # these wrappers, so any growth seen here is a live inline
+        # compile).
+        inline = []
+        orig_lk, orig_ov = gm._lookup_rows, gm._batch_overlaps
+
+        def lk_rows(pairs, L):
+            n0 = gicp.vgicp_lookup_stacked._cache_size()
+            out = orig_lk(pairs, L)
+            d = gicp.vgicp_lookup_stacked._cache_size() - n0
+            if d:
+                inline.append(("lookup", len(pairs), d))
+            return out
+
+        def b_ov(pairs):
+            n0 = vmx.voxelmap_overlap_stacked._cache_size()
+            out = orig_ov(pairs)
+            d = vmx.voxelmap_overlap_stacked._cache_size() - n0
+            if d:
+                inline.append(("overlap", len(pairs), d))
+            return out
+
+        gm._lookup_rows, gm._batch_overlaps = lk_rows, b_ov
+        for i in range(1, 6):
+            gm.insert_submap(_make_submap(rng, i, np.array([1.5 * i, 0, 0])))
+        assert not inline, f"live-path inline compiles: {inline}"
