@@ -86,6 +86,11 @@ class GlobalMappingParams:
     # increments never stall; global_mapping.cpp:492-544). None -> resolve
     # from GLIM_TPU_PRECOMPILE env (default on).
     enable_precompile: Optional[bool] = None
+    # Subsampling stride for the candidate-overlap GATE (the dominant cost
+    # of every submap insert at scale, 233-295 ms of ~300 ms measured on
+    # chip): the overlap fraction only feeds a >= 0.05-0.2 threshold, and
+    # a 1-in-4 sample estimates it to ~±2%. 1 = exact.
+    overlap_gate_stride: int = 4
 
     @staticmethod
     def from_config(config) -> "GlobalMappingParams":
@@ -110,6 +115,7 @@ class GlobalMappingParams:
         ep = g("enable_precompile", None)
         if ep is not None:
             p.enable_precompile = bool(ep)
+        p.overlap_gate_stride = int(g("overlap_gate_stride", 4))
         return p
 
 
@@ -606,7 +612,8 @@ class GlobalMapping(GlobalMappingBase):
                                    + [0] * (Rp - R), np.int32))
         ovs = vmx.voxelmap_overlap_stacked(jnp.asarray(T_rel), tgt, src,
                                            sm_pts, sm_mask, lk0["keys"],
-                                           lk0["res"])
+                                           lk0["res"],
+                                           stride=self.params.overlap_gate_stride)
         return np.asarray(ovs)[:R]
 
     def _create_matching_cost_factors(self, i: int) -> None:
@@ -1056,9 +1063,10 @@ class GlobalMapping(GlobalMappingBase):
                     jax.block_until_ready(out)
                 pc.submit(sig, lk_thunk)
         V0 = caps[0]
-        sig = ("overlap", Sp, Rp, M, V0)
+        stride = p.overlap_gate_stride
+        sig = ("overlap", Sp, Rp, M, V0, stride)
         if not (pc.ready(sig) or pc.pending_for(sig)):
-            def ov_thunk(Sp=Sp, Rp=Rp, V0=V0):
+            def ov_thunk(Sp=Sp, Rp=Rp, V0=V0, stride=stride):
                 out = vmx.voxelmap_overlap_stacked(
                     jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
                              (Rp, 1, 1)),
@@ -1066,7 +1074,7 @@ class GlobalMapping(GlobalMappingBase):
                     jnp.zeros((Sp, M, 3), jnp.float32),
                     jnp.zeros((Sp, M), bool),
                     jnp.full((Sp, V0, 2), vmx.INVALID_HASH, jnp.int32),
-                    jnp.ones(Sp, jnp.float32))
+                    jnp.ones(Sp, jnp.float32), stride=stride)
                 jax.block_until_ready(out)
             pc.submit(sig, ov_thunk)
 

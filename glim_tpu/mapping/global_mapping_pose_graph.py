@@ -33,7 +33,7 @@ import numpy as np
 from glim_tpu.mapping.callbacks import GlobalMappingCallbacks as CB
 from glim_tpu.mapping.global_mapping_base import GlobalMappingBase
 from glim_tpu.ops import factors as fct
-from glim_tpu.ops import gicp, lie, solver
+from glim_tpu.ops import gicp, lie, lie_np, solver
 from glim_tpu.ops import voxelmap as vmx
 from glim_tpu.types import SubMap
 from glim_tpu.utils.logging import create_module_logger
@@ -61,6 +61,16 @@ class GlobalMappingPoseGraphParams:
     registration_iterations: int = 10
     voxel_capacity: int = 32768
     enable_detection_thread: bool = True
+    # When the odometry-initialized registration lands below this inlier
+    # fraction, retry from a GLOBAL registration init (FPFH + RANSAC) and
+    # keep whichever alignment matches more points. The reference registers
+    # only from the current-estimate init (:404-417) — on long-drifted
+    # revisits (3+ m of accumulated error) that init can fall outside the
+    # local basin and lock onto structure aliases that still pass the 0.5
+    # validation gate (measured: aliased walls at 0.67 inliers vs 0.95 at
+    # the true alignment), poisoning the graph with confidently-wrong
+    # loops. 0 disables the fallback (exact reference behavior).
+    global_registration_min_inliers: float = 0.8
 
     @staticmethod
     def from_config(config) -> "GlobalMappingPoseGraphParams":
@@ -81,6 +91,8 @@ class GlobalMappingPoseGraphParams:
         p.loop_candidate_buffer_size = int(g("loop_candidate_buffer_size", 100))
         p.loop_candidate_eval_per_insert = int(g("loop_candidate_eval_per_thread", 2))
         p.enable_detection_thread = g("enable_detection_thread", True)
+        p.global_registration_min_inliers = g(
+            "global_registration_min_inliers", 0.8)
         return p
 
 
@@ -89,6 +101,115 @@ def _pad_pow2(n: int, minimum: int = 8) -> int:
     while c < n:
         c *= 2
     return c
+
+
+def _skew_np(v):
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+
+def _se3_adjoint(T):
+    """Ad(T) for [rot, trans] tangents: exp(Ad(T) xi) = T exp(xi) T^-1."""
+    R, t = T[:3, :3], T[:3, 3]
+    A = np.zeros((6, 6))
+    A[:3, :3] = R
+    A[3:, :3] = _skew_np(t) @ R
+    A[3:, 3:] = R
+    return A
+
+
+def _se3_ad(xi):
+    """Little adjoint ad(xi) for [rot, trans] ordering."""
+    w, v = xi[:3], xi[3:]
+    A = np.zeros((6, 6))
+    A[:3, :3] = _skew_np(w)
+    A[3:, :3] = _skew_np(v)
+    A[3:, 3:] = _skew_np(w)
+    return A
+
+
+def _se3_jr_inv(r):
+    """Inverse right Jacobian of se3_log, series to second order."""
+    a = _se3_ad(r)
+    return np.eye(6) + 0.5 * a + (a @ a) / 12.0
+
+
+def _host_linearize_graph(poses, f_i, f_j, f_Z, f_si, f_huber,
+                          prior_info: float):
+    """f64 HOST Gauss-Newton system over all poses.
+
+    The pose graph is the one solver in this framework that must NOT run
+    in device f32: its Hessian mixes a 1e6 gauge prior and 1e4-stiff
+    odometry links with lever-arm modes (rotate an early link, every later
+    pose sweeps 100+ m) whose TRUE stiffness is O(1) — f32 rounding of the
+    1e4-1e6-scale entries perturbs those eigenvalues by O(1), routinely
+    making the assembled H indefinite, and Gauss-Newton then rides the
+    corrupted modes to 50-700-norm steps that LM can only reject (measured
+    on the 128-submap drifted ring: every post-closure step rejected, loop
+    residual never recovered). The graph is tiny (hundreds of factors,
+    N*6 <= a few thousand), so exact f64 assembly on host costs
+    microseconds; the device keeps the part it is good at — the dense
+    per-candidate registrations that VALIDATE the loops.
+
+    Analytic right-perturbation Jacobians: r = log(Z^-1 Ti^-1 Tj), so
+    dr/dxi_j = Jr^-1(r) and dr/dxi_i = -Jr^-1(r) Ad(Tj^-1 Ti), with the
+    inverse right Jacobian's series Jr^-1(r) ~ I + ad(r)/2 + ad(r)^2/12
+    (exact enough at the sub-radian residuals Huber leaves alive; pinned
+    against central differences in tests). Returns (H, b, err).
+    """
+    N = len(poses)
+    D = N * 6
+    H = np.zeros((D, D))
+    b = np.zeros(D)
+    err = 0.0
+    for i, j, Z, si, hub in zip(f_i, f_j, f_Z, f_si, f_huber):
+        Ti, Tj = poses[i], poses[j]
+        rel = np.linalg.inv(Ti) @ Tj
+        Z_inv = np.linalg.inv(Z)
+        r0 = si * lie_np.se3_log(Z_inv @ rel)
+        if np.linalg.norm(r0[:3] / si) < 1.0:
+            Jr_inv = _se3_jr_inv(r0 / si)
+            J_j = si * Jr_inv
+            J_i = -si * (Jr_inv @ _se3_adjoint(np.linalg.inv(rel)))
+            J = np.concatenate([J_i, J_j], axis=1)
+        else:
+            # The Jr^-1 series degrades past ~1 rad of residual rotation
+            # (4% at 2.4 rad); central differences for these rare rows.
+            eps = 1e-6
+            J = np.zeros((6, 12))
+
+            def res(xi_i, xi_j):
+                A = Ti @ lie_np.se3_exp(xi_i)
+                Bp = Tj @ lie_np.se3_exp(xi_j)
+                return si * lie_np.se3_log(Z_inv @ np.linalg.inv(A) @ Bp)
+
+            for k in range(6):
+                dk = np.zeros(6)
+                dk[k] = eps
+                J[:, k] = (res(dk, np.zeros(6))
+                           - res(-dk, np.zeros(6))) / (2 * eps)
+                J[:, 6 + k] = (res(np.zeros(6), dk)
+                               - res(np.zeros(6), -dk)) / (2 * eps)
+        u = np.linalg.norm(r0)
+        if hub > 0 and u > hub:
+            w = hub / u
+            err += hub * u - 0.5 * hub * hub
+        else:
+            w = 1.0
+            err += 0.5 * u * u
+        Hf = w * (J.T @ J)
+        bf = w * (J.T @ r0)
+        sl_i, sl_j = slice(i * 6, i * 6 + 6), slice(j * 6, j * 6 + 6)
+        H[sl_i, sl_i] += Hf[:6, :6]
+        H[sl_i, sl_j] += Hf[:6, 6:]
+        H[sl_j, sl_i] += Hf[6:, :6]
+        H[sl_j, sl_j] += Hf[6:, 6:]
+        b[sl_i] += bf[:6]
+        b[sl_j] += bf[6:]
+    # Gauge prior on pose 0 at its current value (zero residual, pure
+    # stiffness) + tiny global damping.
+    H[:6, :6] += np.eye(6) * prior_info
+    H += np.eye(D) * 1e-6
+    return H, b, err
 
 
 @partial(jax.jit, static_argnames=("n_pose_cap", "n_factor_cap"))
@@ -431,7 +552,9 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         with profile_scope("global/eval_candidate"):
             return self._evaluate_candidate_impl(tgt, src, T_init)
 
-    def _evaluate_candidate_impl(self, tgt: int, src: int, T_init: np.ndarray):
+    def _register_from(self, tgt: int, src: int, T_init) -> tuple:
+        """One registration attempt (GICP/VGICP per config) from T_init;
+        returns (T_rel device array, inlier fraction)."""
         p = self.params
         pts, covs, mask = (self._sub_pts[src], self._sub_covs[src],
                            self._sub_mask[src])
@@ -449,6 +572,45 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
             jnp.eye(4), T_rel, pts, mask,
             self._sub_pts[tgt], self._sub_mask[tgt],
             jnp.float32(p.gicp_max_correspondence_dist)))
+        return T_rel, frac
+
+    def _global_reg_init(self, tgt: int, src: int):
+        """FPFH + RANSAC global registration between the two submap slices
+        (drift-independent init for the fallback path)."""
+        from glim_tpu.ops import covariance as cov_ops
+        from glim_tpu.ops import knn
+        from glim_tpu.ops import registration as reg
+
+        def feats(k):
+            pts, mask = self._sub_pts[k], self._sub_mask[k]
+            nbr, _ = knn.knn_self(pts, mask, 10)
+            _, normals = cov_ops.estimate_covariances(pts, mask, nbr, "plane")
+            return pts, mask, reg.estimate_fpfh(pts, normals, mask, k=20)
+        sp, sm_, sf = feats(src)
+        tp, tm, tf = feats(tgt)
+        res, _ = reg.estimate_pose_ransac(sp, sf, sm_, tp, tf, tm)
+        return np.asarray(res.T_target_source, np.float64)
+
+    def _evaluate_candidate_impl(self, tgt: int, src: int, T_init: np.ndarray):
+        p = self.params
+        T_rel, frac = self._register_from(tgt, src, T_init)
+        if (p.global_registration_min_inliers > 0
+                and frac < p.global_registration_min_inliers):
+            # The odometry init may sit outside the true basin after meters
+            # of drift: retry from a drift-independent global init and keep
+            # the better-matching alignment (see the param docstring).
+            try:
+                T0 = self._global_reg_init(tgt, src)
+                if np.all(np.isfinite(T0)):
+                    T_g, frac_g = self._register_from(tgt, src, T0)
+                    if frac_g > frac:
+                        logger.info("loop %d->%d re-based on global "
+                                    "registration (inliers %.2f -> %.2f)",
+                                    tgt, src, frac, frac_g)
+                        T_rel, frac = T_g, frac_g
+            except Exception:
+                logger.exception("global registration fallback failed for "
+                                 "%d->%d", tgt, src)
         if frac < p.min_inliear_fraction or not \
                 np.all(np.isfinite(np.asarray(T_rel))):
             logger.debug("loop %d->%d rejected (inliers %.2f)", tgt, src, frac)
@@ -503,56 +665,53 @@ class GlobalMappingPoseGraph(GlobalMappingBase):
         self._last_opt_factors = B
         if N < 2 or B == 0:
             return
-        n_cap = _pad_pow2(N)
-        f_cap = _pad_pow2(B)
 
-        poses = np.tile(np.eye(4), (n_cap, 1, 1))
-        poses[:N] = np.stack(self.poses)
-        fi = np.zeros(f_cap, np.int32)
-        fj = np.zeros(f_cap, np.int32)
-        fZ = np.tile(np.eye(4), (f_cap, 1, 1))
-        finfo = np.ones((f_cap, 6))
-        fhub = np.full(f_cap, -1.0)
-        fval = np.zeros(f_cap, bool)
-        fi[:B] = self.f_i
-        fj[:B] = self.f_j
-        fZ[:B] = np.stack(self.f_Z)
-        finfo[:B] = np.stack(self.f_info)
-        fhub[:B] = self.f_huber
-        fval[:B] = True
-
-        prior_T = jnp.asarray(self.poses[0], jnp.float32)
-        prior_info = jnp.full(6, np.sqrt(p.init_pose_damping_scale), jnp.float32)
-
-        args = (jnp.asarray(fi), jnp.asarray(fj), jnp.asarray(fZ, jnp.float32),
-                jnp.asarray(finfo, jnp.float32), jnp.asarray(fhub, jnp.float32),
-                jnp.asarray(fval), prior_T, prior_info)
+        poses = [np.asarray(T, np.float64).copy() for T in self.poses]
+        f_i, f_j = list(self.f_i), list(self.f_j)
+        f_Z = [np.asarray(Z, np.float64) for Z in self.f_Z]
+        f_si = [float(info[0]) for info in self.f_info]
+        f_hub = list(self.f_huber)
 
         def linearize(x):
-            return _linearize_graph(x, *args, n_pose_cap=n_cap, n_factor_cap=f_cap)
-
-        def retract(x, delta):
-            return x @ lie.se3_exp(delta.reshape(n_cap, 6))
+            return _host_linearize_graph(x, f_i, f_j, f_Z, f_si, f_hub,
+                                         p.init_pose_damping_scale)
 
         CB.on_smoother_update(self, None, None)
-        res = solver.lm_optimize(linearize, retract, jnp.asarray(poses, jnp.float32),
-                                 solver.TerminationCriteria(max_iterations=5))
-        CB.on_smoother_update_result(self, res)
+        # Host-f64 LM (see _host_linearize_graph for why this solver must
+        # not run in device f32). 50 iterations cost nothing at steady
+        # state (early termination after 1-3); a freshly accepted loop on a
+        # heavily drifted chain needs ~10-20 Huber-IRLS rounds.
+        H, b, err = linearize(poses)
+        lam = 1e-6
+        for it in range(50):
+            A = H + np.diag(lam * np.diag(H) + 1e-9)
+            try:
+                delta = np.linalg.solve(A, -b)
+            except np.linalg.LinAlgError:
+                delta = np.linalg.lstsq(A, -b, rcond=None)[0]
+            d6 = delta.reshape(N, 6)
+            trial = [T @ lie_np.se3_exp(d) for T, d in zip(poses, d6)]
+            H_new, b_new, err_new = linearize(trial)
+            if err_new < err:
+                rel = (err - err_new) / max(err, 1e-12)
+                poses, H, b, err = trial, H_new, b_new, err_new
+                lam = max(lam / 10.0, 1e-10)
+                rot_n = float(np.max(np.linalg.norm(d6[:, :3], axis=1)))
+                tr_n = float(np.max(np.linalg.norm(d6[:, 3:], axis=1)))
+                if (rot_n < 1e-5 and tr_n < 1e-5) or rel < 1e-8:
+                    break
+            else:
+                lam = min(lam * 10.0, 1e6)
+                if lam >= 1e6:
+                    break
+        CB.on_smoother_update_result(self, dict(error=float(err),
+                                                iterations=it + 1))
 
-        new_poses = np.asarray(res.x, np.float64)
-        if not np.all(np.isfinite(new_poses[:N])):
-            # Indeterminant-system recovery (reference global_mapping.cpp
-            # :492-544 analogue): re-solve once with heavy initial damping;
-            # if still broken, keep the previous poses.
-            logger.warning("indeterminant linear system in pose graph: "
-                           "re-optimizing with heavy damping")
-            res = solver.lm_optimize(
-                linearize, retract, jnp.asarray(poses, jnp.float32),
-                solver.TerminationCriteria(max_iterations=5), init_lambda=1e2)
-            new_poses = np.asarray(res.x, np.float64)
-            if not np.all(np.isfinite(new_poses[:N])):
-                logger.error("recovery failed; keeping previous poses")
-                return
+        new_poses = np.stack(poses)
+        if not np.all(np.isfinite(new_poses)):
+            logger.error("pose-graph optimize produced non-finite poses; "
+                         "keeping previous estimates")
+            return
         for k in range(N):
             self.poses[k] = _orthonormalize(new_poses[k])
             self.submaps[k].T_world_origin = self.poses[k].copy()

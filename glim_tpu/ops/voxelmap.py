@@ -282,8 +282,9 @@ def voxelmap_overlap(vm: GaussianVoxelMap, points: jnp.ndarray, mask: jnp.ndarra
     return jnp.sum(hits) / jnp.maximum(jnp.sum(mask), 1)
 
 
-@jax.jit
-def voxelmap_overlap_stacked(T_rel, tgt, src, sm_pts, sm_mask, keys, res):
+@partial(jax.jit, static_argnames=("stride",))
+def voxelmap_overlap_stacked(T_rel, tgt, src, sm_pts, sm_mask, keys, res,
+                             stride: int = 1):
     """Batched voxelmap_overlap over (tgt, src) pair rows against STACKED
     per-submap tables: row r scores submap src[r]'s cloud, transformed by
     T_rel[r], against submap tgt[r]'s key table. Replaces the global
@@ -292,13 +293,21 @@ def voxelmap_overlap_stacked(T_rel, tgt, src, sm_pts, sm_mask, keys, res):
     this costs one (reference analogue: the overlap checks inside
     global_mapping.cpp:430-484's implicit-loop search).
 
+    ``stride`` subsamples the scored cloud: the overlap fraction is a GATE
+    compared against thresholds of 0.05-0.2, and a 1-in-4 sample estimates
+    it to ~±2% at M=2048 — the gather/binary-search cost (the whole
+    program, measured 233-295 ms of every submap insert at 64-128 submaps)
+    drops by the same factor. Pass 1 for the exact fraction.
+
     T_rel: (R, 4, 4) f32; tgt/src: (R,) int32; sm_pts: (S, M, 3);
     sm_mask: (S, M); keys: (S, V, 2) int32; res: (S,) f32 -> (R,) f32."""
     def one(T, t, s):
-        q = sm_pts[s] @ T[:3, :3].T + T[:3, 3]
+        pts = sm_pts[s][::stride]
+        msk = sm_mask[s][::stride]
+        q = pts @ T[:3, :3].T + T[:3, 3]
         found = lookup_keys(keys[t], res[t], q, method="scan_unrolled")
-        hits = (found >= 0) & sm_mask[s]
-        return jnp.sum(hits) / jnp.maximum(jnp.sum(sm_mask[s]), 1)
+        hits = (found >= 0) & msk
+        return jnp.sum(hits) / jnp.maximum(jnp.sum(msk), 1)
 
     R = T_rel.shape[0]
     CH = 64

@@ -118,3 +118,90 @@ class TestLoopDetectionThread:
         # The final submap must not have closed against the start.
         looped = [(i, j) for (i, j) in gm._looped_pairs if j == n - 1]
         assert not looped, f"false loop accepted: {looped}"
+
+
+class TestHostGraphSolver:
+    """The pose-graph backend's host-f64 Gauss-Newton pieces (device f32
+    provably corrupts this solver's soft lever-arm modes — see
+    _host_linearize_graph's docstring)."""
+
+    def test_analytic_jacobians_match_central_differences(self):
+        from glim_tpu.mapping.global_mapping_pose_graph import (_se3_adjoint,
+                                                                _se3_jr_inv)
+        from glim_tpu.ops import lie_np
+        rng = np.random.default_rng(1)
+        for _ in range(6):
+            Ti = lie_np.se3_exp(rng.normal(0, 0.4, 6))
+            Tj = lie_np.se3_exp(rng.normal(0, 0.4, 6))
+            Z = lie_np.se3_exp(rng.normal(0, 0.2, 6))
+            si = 37.0
+            rel = np.linalg.inv(Ti) @ Tj
+            r0 = si * lie_np.se3_log(np.linalg.inv(Z) @ rel)
+            if np.linalg.norm(r0[:3] / si) > 0.9:
+                continue          # the analytic path defers to FD there
+            Jr_inv = _se3_jr_inv(r0 / si)
+            Ja = np.concatenate(
+                [-si * (Jr_inv @ _se3_adjoint(np.linalg.inv(rel))),
+                 si * Jr_inv], axis=1)
+            eps = 1e-6
+            Jn = np.zeros((6, 12))
+
+            def res(xi_i, xi_j):
+                A = Ti @ lie_np.se3_exp(xi_i)
+                Bp = Tj @ lie_np.se3_exp(xi_j)
+                return si * lie_np.se3_log(
+                    np.linalg.inv(Z) @ np.linalg.inv(A) @ Bp)
+
+            for k in range(6):
+                d = np.zeros(6)
+                d[k] = eps
+                Jn[:, k] = (res(d, np.zeros(6)) - res(-d, np.zeros(6))) \
+                    / (2 * eps)
+                Jn[:, 6 + k] = (res(np.zeros(6), d) - res(np.zeros(6), -d)) \
+                    / (2 * eps)
+            rel_err = np.abs(Ja - Jn).max() / max(np.abs(Jn).max(), 1.0)
+            assert rel_err < 5e-3, rel_err
+
+    def test_closes_drifted_ring_where_f32_stalled(self):
+        """A 64-pose yaw-drifted ring with two endpoint loop factors must
+        close: the device-f32 assembly's indefinite Hessian left this
+        configuration uncorrected (every LM step rejected)."""
+        from glim_tpu.mapping.global_mapping_pose_graph import (
+            GlobalMappingPoseGraph, GlobalMappingPoseGraphParams)
+        from glim_tpu.ops import lie_np
+        n, radius = 64, 40.0
+        drift = lie_np.se3_exp(np.array([0, 0, 4e-4, 5e-3, 0, 0]))
+        gm = GlobalMappingPoseGraph(GlobalMappingPoseGraphParams(
+            enable_detection_thread=False, enable_optimization=False))
+        T_true, prev, cur = [], None, np.eye(4)
+        for k in range(n):
+            ang = 2 * np.pi * k / n
+            T = np.eye(4)
+            T[:2, 3] = radius * np.cos(ang), radius * np.sin(ang)
+            yaw = ang + np.pi / 2
+            T[:2, :2] = [[np.cos(yaw), -np.sin(yaw)],
+                         [np.sin(yaw), np.cos(yaw)]]
+            T_true.append(T)
+            cur = T if prev is None else \
+                cur @ np.linalg.inv(prev) @ T @ drift
+            prev = T
+            gm.poses.append(cur.copy())
+            gm.odom_poses.append(cur.copy())
+            gm.submaps.append(SubMap(id=k, T_world_origin=cur.copy(),
+                                     frame=None))
+            if k:
+                dZ = np.linalg.inv(gm.odom_poses[k - 1]) @ gm.odom_poses[k]
+                gm._add_factor(k - 1, k, dZ, 1.0 / 0.01, -1.0)
+        for a in (0, 1):
+            Zt = np.linalg.inv(T_true[a]) @ T_true[n - 1]
+            gm._add_factor(a, n - 1, Zt, 1.0 / 0.01, 1.0)
+        pre = np.sqrt(np.mean([np.sum((gm.poses[k][:2, 3]
+                                       - T_true[k][:2, 3]) ** 2)
+                               for k in range(n)]))
+        gm.optimize()
+        post = np.sqrt(np.mean([np.sum((gm.poses[k][:2, 3]
+                                        - T_true[k][:2, 3]) ** 2)
+                                for k in range(n)]))
+        assert pre > 0.5, pre
+        assert post < 0.5 * pre, (pre, post)
+        assert all(np.all(np.isfinite(T)) for T in gm.poses)
