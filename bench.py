@@ -187,6 +187,11 @@ def worker(out_path: str, legs: list, budget_s: float):
             stats.pop(f"{leg}_note", None)
         except Exception as exc:   # a failed leg must not kill the rest
             stats[f"{leg}_note"] = f"failed: {type(exc).__name__}: {exc}"
+            if "UNAVAILABLE" in str(exc) or "crashed" in str(exc):
+                # The tunneled TPU worker occasionally dies under sustained
+                # load and needs a restart window; running the next leg
+                # immediately just fails it too.
+                time.sleep(60.0)
         tmp = out_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(stats, f)

@@ -932,8 +932,12 @@ class GlobalMapping(GlobalMappingBase):
 
     def _gn_sig(self, dims: dict):
         M = int(self._m_pts[0].shape[0])
+        # The trailing False is the exec-mode marker (_submit_gn_precompile
+        # signatures carry the aot flag); only an EXECUTED warmup counts as
+        # a hit — an AOT-only compile still costs a cache load at first
+        # touch, accounted as a (cheap) miss.
         return ("gn", tuple(sorted(dims.items())), M,
-                self.params.lm_iterations, self._mesh)
+                self.params.lm_iterations, self._mesh, False)
 
     def _precompile_tick(self) -> None:
         """Predict the padded program variants the next few inserts will
@@ -974,34 +978,51 @@ class GlobalMapping(GlobalMappingBase):
             combos.append({**cur, k: v})
         if len(bumps) > 1:
             combos.append({**cur, **bumps})
-        for dims in combos:
-            self._submit_gn_precompile(dims, M)
+        for k, dims in enumerate(combos):
+            # All-dims-bumped combo is unlikely to be the exact next state:
+            # AOT-warm it (persistent-cache hit ~0.5-1.5 s if it DOES occur)
+            # instead of paying a full dummy execution on the shared device.
+            self._submit_gn_precompile(dims, M,
+                                       aot=(k == len(combos) - 1
+                                            and len(bumps) > 1))
         # Insert-path programs (correspondence lookup + overlap sweep +
         # match-stack scatter) for the predicted submap buckets x the FULL
         # pair-batch bucket ladder up to the worst-case full-refresh batch
         # (every factor stale after a loop closure). The ladder matters:
         # candidate/refresh batches take every intermediate power-of-two on
-        # the way up (a 16-candidate overlap sweep appears well before any
+        # the way up (a 16-candidate overlap sweep appears long before any
         # 64-row refresh), and each unpredicted bucket is an inline compile
         # in the live insert — the dominant term of the 2 s first-checkpoint
-        # insert mean measured on chip.
+        # insert mean measured on chip. Rungs beyond 2x the largest batch
+        # seen so far are the SPECULATIVE tail (a big post-loop-closure
+        # full refresh): those compile AOT-only — their dummy executions
+        # (75+ MB buffer traffic each) were the load under which the
+        # tunneled TPU worker repeatedly crashed, and they halve the async
+        # pipeline's throughput while they drain.
         sp_c = [cur["Sp"]] + ([bumps["Sp"]] if "Sp" in bumps else [])
+        rp_hot = 2 * max(self._rp_seen)
         rp_max = bucket(max(F + max(4, F // 2), 1, max(self._rp_seen)))
         rp_c, r = [], 8
         while r <= rp_max:
             rp_c.append(r)
             r *= 2
-        for Sp in sp_c:
+        for si, Sp in enumerate(sp_c):
             for Rp in rp_c:
-                self._submit_insert_precompiles(Sp, Rp, M, L)
+                self._submit_insert_precompiles(
+                    Sp, Rp, M, L, aot=(si > 0 or Rp > rp_hot))
         # Match-stack scatter programs (one per (Fp, Rp) combo): appends and
         # refreshes write searched rows with .at[rows].set(mode="drop"),
         # compiled per stack-capacity x batch-bucket pair — these ran inline
         # during opt.args (2.5 s mean in the first on-chip checkpoint).
+        # Scatter is an eager op (no stable jit wrapper to AOT through), so
+        # the speculative tail is simply skipped: a far-rung first touch
+        # costs a ~1 s inline compile once, vs. a crash-prone giant dummy
+        # execution on every prediction.
         fp_c = [cur["Fp"]] + ([bumps["Fp"]] if "Fp" in bumps else [])
-        for Fp in fp_c:
+        for fi, Fp in enumerate(fp_c):
             for Rp in rp_c:
-                self._submit_scatter_precompile(Fp, Rp, M, L)
+                if fi == 0 and Rp <= rp_hot:
+                    self._submit_scatter_precompile(Fp, Rp, M, L)
 
     def _submit_scatter_precompile(self, Fp: int, Rp: int, M: int,
                                    L: int) -> None:
@@ -1023,11 +1044,13 @@ class GlobalMapping(GlobalMappingBase):
 
         pc.submit(sig, thunk)
 
-    def _submit_gn_precompile(self, dims: dict, M: int) -> None:
+    def _submit_gn_precompile(self, dims: dict, M: int,
+                              aot: bool = False) -> None:
         pc = self.precompiler
         sig = ("gn", tuple(sorted(dims.items())), M,
-               self.params.lm_iterations, self._mesh)
-        if pc.ready(sig) or pc.pending_for(sig):
+               self.params.lm_iterations, self._mesh, aot)
+        if pc.ready(sig) or pc.pending_for(sig) \
+                or (aot and pc.ready(sig[:-1] + (False,))):
             return
         dims = dict(dims)
         mw = self.params.matching_weight
@@ -1036,22 +1059,30 @@ class GlobalMapping(GlobalMappingBase):
         def thunk():
             from glim_tpu.mapping.precompile import dummy_gn_args
             args = dummy_gn_args(dims, M, mw)
-            out = global_gn(**args, **dims, iters=iters, shard_mesh=mesh)
-            jax.block_until_ready(out)
+            if aot:
+                # Populate the persistent XLA cache only (no device
+                # execution): a live first-touch then pays a ~0.5-1.5 s
+                # cache load instead of a full compile.
+                global_gn.lower(**args, **dims, iters=iters,
+                                shard_mesh=mesh).compile()
+            else:
+                out = global_gn(**args, **dims, iters=iters, shard_mesh=mesh)
+                jax.block_until_ready(out)
 
         pc.submit(sig, thunk)
 
     def _submit_insert_precompiles(self, Sp: int, Rp: int, M: int,
-                                   L: int) -> None:
+                                   L: int, aot: bool = False) -> None:
         pc = self.precompiler
         p = self.params
         caps = sorted({max(p.voxel_capacity >> lvl, 4096)
                        for lvl in range(L)}, reverse=True)
         for V in caps:
-            sig = ("lookup", Sp, Rp, M, V)
-            if not (pc.ready(sig) or pc.pending_for(sig)):
-                def lk_thunk(Sp=Sp, Rp=Rp, V=V):
-                    out = gicp.vgicp_lookup_stacked(
+            sig = ("lookup", Sp, Rp, M, V, aot)
+            if not (pc.ready(sig) or pc.pending_for(sig)
+                    or (aot and pc.ready(sig[:-1] + (False,)))):
+                def lk_thunk(Sp=Sp, Rp=Rp, V=V, aot=aot):
+                    args = (
                         jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
                                  (Sp, 1, 1)),
                         jnp.zeros(Rp, jnp.int32), jnp.zeros(Rp, jnp.int32),
@@ -1060,22 +1091,31 @@ class GlobalMapping(GlobalMappingBase):
                         jnp.full((Sp, V, 2), vmx.INVALID_HASH, jnp.int32),
                         jnp.zeros((Sp, V, 12), jnp.float32),
                         jnp.ones(Sp, jnp.float32))
-                    jax.block_until_ready(out)
+                    if aot:
+                        gicp.vgicp_lookup_stacked.lower(*args).compile()
+                    else:
+                        jax.block_until_ready(gicp.vgicp_lookup_stacked(*args))
                 pc.submit(sig, lk_thunk)
         V0 = caps[0]
         stride = p.overlap_gate_stride
-        sig = ("overlap", Sp, Rp, M, V0, stride)
-        if not (pc.ready(sig) or pc.pending_for(sig)):
-            def ov_thunk(Sp=Sp, Rp=Rp, V0=V0, stride=stride):
-                out = vmx.voxelmap_overlap_stacked(
+        sig = ("overlap", Sp, Rp, M, V0, stride, aot)
+        if not (pc.ready(sig) or pc.pending_for(sig)
+                or (aot and pc.ready(sig[:-1] + (False,)))):
+            def ov_thunk(Sp=Sp, Rp=Rp, V0=V0, stride=stride, aot=aot):
+                args = (
                     jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
                              (Rp, 1, 1)),
                     jnp.zeros(Rp, jnp.int32), jnp.zeros(Rp, jnp.int32),
                     jnp.zeros((Sp, M, 3), jnp.float32),
                     jnp.zeros((Sp, M), bool),
                     jnp.full((Sp, V0, 2), vmx.INVALID_HASH, jnp.int32),
-                    jnp.ones(Sp, jnp.float32), stride=stride)
-                jax.block_until_ready(out)
+                    jnp.ones(Sp, jnp.float32))
+                if aot:
+                    vmx.voxelmap_overlap_stacked.lower(
+                        *args, stride=stride).compile()
+                else:
+                    jax.block_until_ready(vmx.voxelmap_overlap_stacked(
+                        *args, stride=stride))
             pc.submit(sig, ov_thunk)
 
     def _account_gn_compile(self, dims: dict) -> None:

@@ -144,6 +144,7 @@ class Precompiler:
                     self.stats["compile_s"] += dt
                 logger.debug("precompiled %s in %.2fs", sig, dt)
             except Exception as exc:      # never kill the worker
+                dt = time.perf_counter() - t0
                 with self._cv:
                     self.stats["errors"] += 1
                 logger.warning("precompile of %s failed: %s", sig, exc)
@@ -151,6 +152,16 @@ class Precompiler:
                 with self._cv:
                     self._inflight = None
                     self._cv.notify_all()
+            # Duty-cycle throttle: the worker shares the device queue, the
+            # dispatch path, and the GIL with the live pipeline — measured
+            # on chip, an unthrottled warmup burst halves the async
+            # pipeline's throughput for its duration. Yield ~25% of each
+            # job's wall between jobs (bounded) so live dispatches slot in.
+            if not self._stop and dt > 0.05:
+                with self._cv:
+                    more = bool(self._queue)
+                if more:
+                    time.sleep(min(dt * 0.25, 2.0))
 
 
 _SHARED: Optional[Precompiler] = None
