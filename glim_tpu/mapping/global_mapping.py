@@ -91,6 +91,10 @@ class GlobalMappingParams:
     # chip): the overlap fraction only feeds a >= 0.05-0.2 threshold, and
     # a 1-in-4 sample estimates it to ~±2%. 1 = exact.
     overlap_gate_stride: int = 4
+    # Per-insert budget on implicit-loop candidates (nearest-K by center
+    # distance; the odometry neighbor always survives). Bounds the insert
+    # cost as the map densifies; <= 0 = unbounded (reference behavior).
+    max_implicit_loop_candidates: int = 64
 
     @staticmethod
     def from_config(config) -> "GlobalMappingParams":
@@ -116,6 +120,8 @@ class GlobalMappingParams:
         if ep is not None:
             p.enable_precompile = bool(ep)
         p.overlap_gate_stride = int(g("overlap_gate_stride", 4))
+        p.max_implicit_loop_candidates = int(
+            g("max_implicit_loop_candidates", 64))
         return p
 
 
@@ -634,6 +640,17 @@ class GlobalMapping(GlobalMappingBase):
             d = np.linalg.norm(centers - pi, axis=1)
             cands = [int(j) for j in
                      np.where(d <= p.max_implicit_loop_distance)[0]]
+            if len(cands) > p.max_implicit_loop_candidates > 0:
+                # Candidate BUDGET: the fixed search radius sweeps ever
+                # more pairs as the map densifies (855 ms/insert measured
+                # at 256 submaps on the stress ring, all in this sweep +
+                # the resulting searches) — keep the nearest K by center
+                # distance, plus the odometry neighbor unconditionally.
+                # The reference sweeps its whole 100 m radius every insert
+                # (global_mapping.cpp:430-484) and scales accordingly.
+                order = sorted(cands, key=lambda j: d[j])
+                cands = sorted(set(order[:p.max_implicit_loop_candidates])
+                               | {i - 1})
             if not self.loop_search_enabled:
                 # Runtime toggle (reference standard_viewer_ui module
                 # enable/disable): keep only the odometry-neighbor factor

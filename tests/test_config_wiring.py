@@ -207,3 +207,36 @@ class TestPassthroughBudgets:
         dense.insert_frame(fr_d)
         sparse.insert_frame(fr_s)
         assert int(sparse._map.num_points()) < int(dense._map.num_points())
+
+
+class TestCandidateBudget:
+    def test_nearest_k_budget_keeps_neighbor(self, rng):
+        """The implicit-loop candidate budget keeps the K nearest + the
+        odometry neighbor (insert cost stays bounded as the map densifies;
+        <=0 restores the reference's unbounded radius sweep)."""
+        from glim_tpu.mapping.global_mapping import (GlobalMapping,
+                                                     GlobalMappingParams)
+        from glim_tpu.types import PointBatch, SubMap
+
+        def make_submap(sid, offset):
+            pts = rng.uniform(-8, 8, (1024, 3)).astype(np.float32)
+            T = np.eye(4)
+            T[:3, 3] = offset
+            return SubMap(id=sid, T_world_origin=T,
+                          frame=PointBatch(points=jnp.asarray(pts),
+                                           mask=jnp.ones(1024, bool)))
+
+        gm = GlobalMapping(GlobalMappingParams(
+            enable_optimization=False, enable_imu=False,
+            max_implicit_loop_distance=1e9, min_implicit_loop_overlap=0.0,
+            max_implicit_loop_candidates=3, use_device_mesh=False))
+        seen = {}
+        orig = gm._batch_overlaps
+        gm._batch_overlaps = lambda pairs: (seen.__setitem__(
+            'n', len(pairs)) or orig(pairs))
+        for i in range(8):
+            gm.insert_submap(make_submap(i, np.array([2.0 * i, 0.0, 0.0])))
+        # 7 prior submaps within range, budget 3 (+ neighbor already among
+        # the 3 nearest on a line) -> at most 4 pairs ever evaluated.
+        assert seen['n'] <= 4, seen
+        assert (6, 7) in gm.matching_factors or (7, 6) in gm.matching_factors
